@@ -1,0 +1,108 @@
+"""Two-cluster-size scaling evidence (BASELINE.md sandbox plan).
+
+No real multi-executor cluster exists in this sandbox, so the north
+rule's N→4N criterion is evidenced by running the identical PageRank
+job on the identical input at two parallelism levels (local[N] vs
+local[4N]) in separate JVMs, reporting edges-processed/sec at both and
+the scaling efficiency. Writes BENCH/BASELINE.md and prints a JSON line.
+
+Usage: python3 BENCH/scaling.py [sf_dir] [N] [4N]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+_WORKER = r"""
+import json, os, sys, time
+sys.path.insert(0, {repo!r})
+from propagon_spark.session import get_spark
+from propagon_spark.graph.core import Graph
+from propagon_spark.graph.pagerank import pagerank
+from propagon_spark.sources.tpch_graph import cocommit_edges
+
+cores = int(sys.argv[1])
+sf_dir = sys.argv[2]
+spark = get_spark(app_name=f"scaling-{{cores}}", master=f"local[{{cores}}]",
+                  shuffle_partitions=cores)
+spark.sparkContext.setLogLevel("ERROR")
+edges = cocommit_edges(spark, sf_dir, symmetric=True)
+g = Graph.from_edges(edges, weight="weight")
+dedup = edges.select("src", "dst").distinct().count()
+# warm-up iteration so JIT/codegen cost is not charged to either level
+pagerank(g, damping=0.85, sink="uniform", iterations=1)
+t0 = time.monotonic()
+res = pagerank(g, damping=0.85, sink="uniform", tol=1e-6, max_iterations=100)
+res.ranks.count()
+secs = time.monotonic() - t0
+print("RESULT " + json.dumps({{
+    "cores": cores, "seconds": round(secs, 3), "iterations": res.iterations,
+    "dedup_edges": dedup, "edges_per_sec": round(dedup * res.iterations / secs),
+    "converged": res.converged,
+}}))
+spark.stop()
+"""
+
+
+def run_level(cores: int, sf_dir: str) -> dict:
+    script = _WORKER.format(repo=REPO)
+    out = subprocess.run(
+        [sys.executable, "-c", script, str(cores), sf_dir],
+        capture_output=True, text=True, timeout=3600,
+    )
+    for line in out.stdout.splitlines():
+        if line.startswith("RESULT "):
+            return json.loads(line[len("RESULT "):])
+    raise RuntimeError(f"worker failed (cores={cores}):\n{out.stderr[-2000:]}")
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else os.environ.get(
+        "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"
+    )
+    n = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+    n4 = int(sys.argv[3]) if len(sys.argv) > 3 else 32
+
+    lo = run_level(n, sf_dir)
+    hi = run_level(n4, sf_dir)
+    efficiency = (lo["seconds"] / hi["seconds"]) / (n4 / n)
+    report = {
+        "input": sf_dir,
+        "low": lo,
+        "high": hi,
+        "scaling_efficiency": round(efficiency, 3),
+        "target": 0.8,
+    }
+    print(json.dumps(report))
+
+    md = f"""# BENCH — two-parallelism scaling evidence (north rule N→4N)
+
+Same PageRank job (damping 0.85, uniform sink, tol 1e-6) on the same
+input ({sf_dir} co-occurrence graph), two parallelism levels, separate
+JVMs, one warm-up fit each. Efficiency = (T_N / T_4N) / (cores_4N /
+cores_N); target >= 0.8 (BASELINE.json).
+
+| level | cores | seconds | iterations | dedup edges | edges/sec |
+|---|---|---|---|---|---|
+| N | {lo['cores']} | {lo['seconds']} | {lo['iterations']} | {lo['dedup_edges']} | {lo['edges_per_sec']} |
+| 4N | {hi['cores']} | {hi['seconds']} | {hi['iterations']} | {hi['dedup_edges']} | {hi['edges_per_sec']} |
+
+**Scaling efficiency: {report['scaling_efficiency']}** (target >= 0.8).
+
+Caveat: single-machine local mode shares one JVM heap and memory bus per
+level; on a real 4N-executor cluster the shuffle is network-bound instead.
+The partitioning strategy (stable hash partitioning by key, partition
+count scaled with cores, AQE coalescing) is the same code path
+spark-submit would run.
+"""
+    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
+        f.write(md)
+
+
+if __name__ == "__main__":
+    main()

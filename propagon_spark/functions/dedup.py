@@ -1,0 +1,338 @@
+"""Deduplication operators for training-data pipelines.
+
+Exact (hash groupBy), MinHash+LSH (shingle → minhash → band → bucket
+join), SimHash, and n-gram Jaccard — the standard large-corpus near-dup
+stack. Signatures are computed in Arrow-batched pandas UDFs (numpy, no
+per-row Python); candidate generation and verification are pure DataFrame
+joins so they shuffle on bucket keys and scale horizontally.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+# ---------------------------------------------------------------- exact
+
+
+def exact_duplicates(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact dedup via content hash: one row per distinct content with the
+    representative (min id) and the copy count. Pure Catalyst —
+    partial+final hash agg, one shuffle on the 256-bit hash."""
+    return (
+        df.groupBy(F.sha2(F.col(text_col), 256).alias("content_sha"))
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count("*").alias("copies"),
+        )
+    )
+
+
+def drop_exact_duplicates(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Keep only the min-id representative of each exact-duplicate group."""
+    keep = exact_duplicates(df, text_col, id_col).select(
+        F.col("keep_id").alias(id_col)
+    )
+    return df.join(keep, id_col, "left_semi")
+
+
+# ------------------------------------------------------------- shingles
+
+
+def _shingle_set(texts: pd.Series, k: int) -> list[np.ndarray]:
+    """Per-doc arrays of 64-bit hashes of character k-shingles."""
+    out = []
+    for s in texts:
+        if s is None:
+            out.append(np.empty(0, dtype=np.uint64))
+            continue
+        b = s.encode("utf-8", "ignore")
+        if len(b) < k:
+            out.append(np.empty(0, dtype=np.uint64))
+            continue
+        a = np.frombuffer(b, dtype=np.uint8).astype(np.uint64)
+        with np.errstate(over="ignore"):
+            h = np.zeros(len(a) - k + 1, dtype=np.uint64)
+            for j in range(k):  # k vectorized passes over the batch
+                h = h * np.uint64(1099511628211) + a[j : len(a) - k + 1 + j]
+        out.append(np.unique(h))
+    return out
+
+
+_MERSENNE = (1 << 61) - 1
+
+
+def _minhash_udf(num_hashes: int, k: int, seed: int):
+    rng = np.random.RandomState(seed)
+    A = rng.randint(1, _MERSENNE, size=num_hashes, dtype=np.int64).astype(
+        np.uint64
+    )
+    B = rng.randint(0, _MERSENNE, size=num_hashes, dtype=np.int64).astype(
+        np.uint64
+    )
+
+    @pandas_udf("array<long>")
+    def mh(texts: pd.Series) -> pd.Series:
+        res = []
+        for sh in _shingle_set(texts, k):
+            if len(sh) == 0:
+                res.append(np.zeros(num_hashes, dtype=np.int64))
+                continue
+            with np.errstate(over="ignore"):
+                # (a*x + b) mod p, vectorized over (hashes × shingles)
+                v = (A[:, None] * sh[None, :] + B[:, None]) % np.uint64(_MERSENNE)
+            res.append(v.min(axis=1).astype(np.int64))
+        return pd.Series(res)
+
+    return mh
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    shingle_k: int = 5,
+    seed: int = 42,
+) -> DataFrame:
+    """(id, signature: array<long>) MinHash signatures."""
+    mh = _minhash_udf(num_hashes, shingle_k, seed)
+    return df.select(F.col(id_col), mh(F.col(text_col)).alias("signature"))
+
+
+def minhash_lsh_candidates(
+    signatures: DataFrame,
+    id_col: str = "doc_id",
+    bands: int = 16,
+    rows_per_band: int = 4,
+) -> DataFrame:
+    """LSH banding: docs sharing any band bucket become candidate pairs
+    (a < b). One explode + one self-join on (band, bucket) — the classic
+    shuffle-bounded candidate generation."""
+    sig = signatures.select(
+        id_col,
+        F.posexplode(
+            F.array(
+                *[
+                    F.xxhash64(
+                        F.slice(
+                            F.col("signature"),
+                            i * rows_per_band + 1,
+                            rows_per_band,
+                        )
+                    )
+                    for i in range(bands)
+                ]
+            )
+        ).alias("band", "bucket"),
+    )
+    a = sig.select(
+        F.col(id_col).alias("a"), "band", "bucket"
+    )
+    b = sig.select(F.col(id_col).alias("b"), "band", "bucket")
+    return (
+        a.join(b, ["band", "bucket"])
+        .where(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+
+
+def minhash_near_duplicates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.8,
+    num_hashes: int = 64,
+    shingle_k: int = 5,
+    bands: int = 16,
+    seed: int = 42,
+) -> DataFrame:
+    """Candidate pairs with estimated Jaccard ≥ threshold:
+    (a, b, est_jaccard). Estimation = fraction of agreeing signature
+    components (zip_with, JVM-side)."""
+    assert num_hashes % bands == 0
+    # docs shorter than one shingle have empty (all-zero) signatures and
+    # would spuriously pair with each other — exclude them
+    eligible = df.where(F.length(F.col(text_col)) >= shingle_k)
+    sigs = minhash_signatures(
+        eligible, text_col, id_col, num_hashes, shingle_k, seed
+    ).persist()
+    cands = minhash_lsh_candidates(sigs, id_col, bands, num_hashes // bands)
+    sa = sigs.select(F.col(id_col).alias("a"), F.col("signature").alias("sig_a"))
+    sb = sigs.select(F.col(id_col).alias("b"), F.col("signature").alias("sig_b"))
+    est = (
+        cands.join(sa, "a")
+        .join(sb, "b")
+        .select(
+            "a",
+            "b",
+            (
+                F.aggregate(
+                    F.zip_with(
+                        "sig_a", "sig_b", lambda x, y: (x == y).cast("int")
+                    ),
+                    F.lit(0),
+                    lambda acc, x: acc + x,
+                ).cast("double")
+                / F.lit(num_hashes)
+            ).alias("est_jaccard"),
+        )
+        .where(F.col("est_jaccard") >= threshold)
+    )
+    return est
+
+
+# -------------------------------------------------------------- simhash
+
+
+def _simhash_udf(k: int):
+    @pandas_udf("long")
+    def sh(texts: pd.Series) -> pd.Series:
+        out = np.zeros(len(texts), dtype=np.int64)
+        bits = np.arange(64, dtype=np.uint64)
+        for i, shingles in enumerate(_shingle_set(texts, k)):
+            if len(shingles) == 0:
+                out[i] = 0
+                continue
+            # accumulate bit votes, vectorized over shingles × 64 bits
+            votes = (
+                ((shingles[:, None] >> bits[None, :]) & np.uint64(1))
+                .astype(np.int64)
+                .sum(axis=0)
+            )
+            sig = np.uint64(0)
+            majority = votes * 2 > len(shingles)
+            for j in np.nonzero(majority)[0]:
+                sig |= np.uint64(1) << np.uint64(j)
+            out[i] = np.int64(sig.astype(np.int64))
+        return pd.Series(out)
+
+    return sh
+
+
+def simhash_signatures(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", shingle_k: int = 5
+) -> DataFrame:
+    """(id, simhash: long) 64-bit SimHash per document."""
+    return df.select(
+        F.col(id_col), _simhash_udf(shingle_k)(F.col(text_col)).alias("simhash")
+    )
+
+
+def simhash_near_duplicates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    shingle_k: int = 5,
+) -> DataFrame:
+    """Near-dup pairs (a, b, hamming ≤ max_hamming) via the 4-block
+    pigeonhole trick: any pair within Hamming distance 3 agrees on at
+    least one of four 16-bit blocks → block-bucket join, then exact
+    Hamming verify with bit_count (JVM-side)."""
+    eligible = df.where(F.length(F.col(text_col)) >= shingle_k)
+    sigs = simhash_signatures(eligible, text_col, id_col, shingle_k)
+    blocks = sigs.select(
+        id_col,
+        "simhash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftrightunsigned(F.col("simhash"), b * 16).bitwiseAND(
+                        F.lit(0xFFFF)
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("block", "key"),
+    )
+    a = blocks.select(
+        F.col(id_col).alias("a"), F.col("simhash").alias("ha"), "block", "key"
+    )
+    b = blocks.select(
+        F.col(id_col).alias("b"), F.col("simhash").alias("hb"), "block", "key"
+    )
+    return (
+        a.join(b, ["block", "key"])
+        .where(F.col("a") < F.col("b"))
+        .select(
+            "a",
+            "b",
+            F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))).alias("hamming"),
+        )
+        .distinct()
+        .where(F.col("hamming") <= max_hamming)
+    )
+
+
+# ------------------------------------------------------ n-gram jaccard
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact word-n-gram Jaccard similarity for pairs sharing ≥1 n-gram.
+
+    Pure Catalyst: tokenize → sliding n-grams (transform over index
+    sequence) → explode → inverted-index self-join → |∩| per pair →
+    Jaccard via per-doc set sizes. The explode/self-join is the scale
+    hazard; upstream of this, frequent-shingle capping is the standard
+    mitigation (documented, not applied by default).
+    """
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.filter(
+            F.split(F.lower(F.trim(F.col(text_col))), r"\s+"), lambda x: x != ""
+        ).alias("w"),
+    )
+    grams = toks.select(
+        "id",
+        F.when(
+            F.size("w") >= n,
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("w") - n),
+                    lambda i: F.concat_ws(
+                        " ", F.slice("w", i + 1, n)
+                    ),
+                )
+            ),
+        )
+        .otherwise(F.array())
+        .alias("grams"),
+    )
+    sizes = grams.select("id", F.size("grams").alias("sz"))
+    inv = grams.select("id", F.explode("grams").alias("g"))
+    pairs = (
+        inv.alias("x")
+        .join(inv.alias("y"), "g")
+        .where(F.col("x.id") < F.col("y.id"))
+        .groupBy(F.col("x.id").alias("a"), F.col("y.id").alias("b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    out = (
+        pairs.join(sizes.select(F.col("id").alias("a"), F.col("sz").alias("sa")), "a")
+        .join(sizes.select(F.col("id").alias("b"), F.col("sz").alias("sb")), "b")
+        .select(
+            "a",
+            "b",
+            (
+                F.col("inter").cast("double")
+                / (F.col("sa") + F.col("sb") - F.col("inter"))
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+    return out

@@ -1,0 +1,188 @@
+"""Similarity search over embedding columns (array<float>).
+
+Brute-force cosine top-k as the exact baseline (pure Catalyst:
+zip_with/aggregate dot products, window top-k), and a random-hyperplane
+LSH-bucketed variant as the scale path (signatures via an Arrow-batched
+pandas UDF, candidates via bucket join, exact rescoring on candidates
+only). Embedding-cosine near-duplicate detection is the same kernel with
+a threshold instead of top-k.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+
+def _dot(a, b) -> F.Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def with_norm(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """Append ``_norm`` = L2 norm of the vector (JVM-side aggregate)."""
+    return df.withColumn(
+        "_norm",
+        F.sqrt(
+            F.aggregate(
+                F.transform(F.col(vec_col), lambda x: x * x),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+        ),
+    )
+
+
+def cosine_topk(
+    df: DataFrame,
+    queries: DataFrame | None = None,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 10,
+) -> DataFrame:
+    """Exact brute-force cosine top-k: for each query vector, the k most
+    similar corpus vectors (self-matches excluded when queries is df).
+
+    Returns (query_id, neighbor_id, cosine, rank). O(|Q|·|C|) — the
+    correctness baseline; use :func:`lsh_cosine_topk` at scale.
+    """
+    corpus = with_norm(df, vec_col).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("_cv"),
+        F.col("_norm").alias("_cn"),
+    )
+    qs = with_norm(queries if queries is not None else df, vec_col).select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("_qv"),
+        F.col("_norm").alias("_qn"),
+    )
+    scored = (
+        qs.crossJoin(corpus)
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            (
+                _dot(F.col("_qv"), F.col("_cv"))
+                / (F.col("_qn") * F.col("_cn"))
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )
+
+
+def _rh_signature_udf(num_planes: int, dim: int, seed: int):
+    rng = np.random.RandomState(seed)
+    planes = rng.standard_normal((dim, num_planes)).astype(np.float32)
+
+    @pandas_udf("long")
+    def sig(vecs: pd.Series) -> pd.Series:
+        m = np.stack(
+            [
+                np.asarray(v, dtype=np.float32)
+                if v is not None
+                else np.zeros(dim, dtype=np.float32)
+                for v in vecs
+            ]
+        )
+        bits = (m @ planes) > 0  # (batch × planes), one BLAS call per batch
+        weights = (1 << np.arange(num_planes, dtype=np.int64))
+        return pd.Series(bits @ weights)
+
+    return sig
+
+
+def lsh_cosine_topk(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 10,
+    num_planes: int = 16,
+    num_tables: int = 4,
+    dim: int | None = None,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate cosine top-k: random-hyperplane signatures bucket the
+    corpus (``num_tables`` independent tables); only same-bucket pairs are
+    rescored exactly. Recall grows with tables; cost ~ bucket sizes, not
+    |C|²."""
+    if dim is None:
+        dim = len(df.select(vec_col).first()[0])
+    sigs = df.select(F.col(id_col), F.col(vec_col))
+    for t in range(num_tables):
+        udf = _rh_signature_udf(num_planes, dim, seed + 1000 * t)
+        sigs = sigs.withColumn(f"_b{t}", udf(F.col(vec_col)))
+    buckets = sigs.select(
+        id_col,
+        vec_col,
+        F.posexplode(
+            F.array(*[F.col(f"_b{t}") for t in range(num_tables)])
+        ).alias("table", "bucket"),
+    )
+    a = with_norm(buckets, vec_col).select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("_qv"),
+        F.col("_norm").alias("_qn"),
+        "table",
+        "bucket",
+    )
+    b = with_norm(buckets, vec_col).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("_cv"),
+        F.col("_norm").alias("_cn"),
+        "table",
+        "bucket",
+    )
+    cands = (
+        a.join(b, ["table", "bucket"])
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", "_qv", "_qn", "_cv", "_cn")
+        .distinct()
+    )
+    scored = cands.select(
+        "query_id",
+        "neighbor_id",
+        (_dot(F.col("_qv"), F.col("_cv")) / (F.col("_qn") * F.col("_cn"))).alias(
+            "cosine"
+        ),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).where(
+        F.col("rank") <= k
+    )
+
+
+def embedding_near_duplicates(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.95,
+    **lsh_kwargs,
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs (a < b, cosine ≥ threshold) via the
+    LSH candidate path."""
+    nn = lsh_cosine_topk(df, vec_col, id_col, k=1000, **lsh_kwargs)
+    return (
+        nn.where(
+            (F.col("cosine") >= threshold)
+            & (F.col("query_id") < F.col("neighbor_id"))
+        )
+        .select(
+            F.col("query_id").alias("a"),
+            F.col("neighbor_id").alias("b"),
+            "cosine",
+        )
+        .distinct()
+    )

@@ -1,0 +1,360 @@
+"""PageRank / personalized PageRank — the flagship kernel.
+
+Re-creates the exact semantics of
+``/root/reference/crates/propagon/src/algos/pagerank.rs`` (params 63-83,
+sink policies 31-46/147-218, teleport 51-59/106-131, update rule 175-235)
+as a Spark-first power iteration:
+
+- **scatter**: join ranks to the dedup'd edge frame on ``src``
+  (both sides hash-partitioned on the key → no per-iteration re-shuffle of
+  the big edge side),
+- **gather**: ``groupBy(dst).sum`` — partial+final hash aggregation, the
+  one unavoidable shuffle per iteration,
+- **normalize/update**: broadcast scalars (sink mass) + a projection.
+
+Reference semantics reproduced exactly (parity fixtures in tests):
+- parallel edges deduplicated, weights ignored (``pagerank.rs:6-7,133-141``);
+- sink policies ``none | uniform | all | reverse``:
+  - ``reverse`` (reference default): each sink's out-edges are replaced by
+    its dedup'd in-neighbors — a topology rewrite computed once before
+    iterating (``pagerank.rs:147-164``);
+  - ``all``: pooled sink mass spread to every *other* node —
+    ``(S - p_i·[i is sink])/(n-1)`` (``pagerank.rs:194-201``); ignores
+    personalization by design (doc gotcha ``pagerank.rs:15-18``);
+  - ``uniform``: sink mass follows the teleport distribution
+    (``pagerank.rs:206-218``);
+  - ``none``: mass leaks;
+- teleport ``uniform`` or seed dict (positive finite weights, normalized,
+  unknown names are errors — ``pagerank.rs:106-131``);
+- init = teleport vector (``pagerank.rs:170-173``);
+- update ``p ← d·(gathered + sink_term) + (1−d)·v``.
+
+Beyond the reference (north rule): convergence mode (L1 delta < tol) with
+per-iteration metrics, checkpoint/resume mid-convergence, lineage
+truncation via localCheckpoint, and explicit salting of the scatter join
+for high-out-degree hubs (AQE skew join as backstop).
+"""
+
+from __future__ import annotations
+
+import logging
+import math
+import time
+import uuid
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
+
+from propagon_spark.canon import dedup_edges
+from propagon_spark.errors import InvalidParameterError, NumericError
+from propagon_spark.graph.core import Graph, sorted_scores
+from propagon_spark.plans.checkpoint import CheckpointManager
+from propagon_spark.plans.iterate import truncate_lineage
+
+logger = logging.getLogger("propagon_spark.pagerank")
+
+_SINKS = ("none", "uniform", "all", "reverse")
+
+_STORAGE = StorageLevel.MEMORY_AND_DISK
+
+
+@dataclass
+class PageRankResult:
+    scores: DataFrame  # (name, score) sorted desc, name asc
+    ranks: DataFrame  # (id, rank)
+    iterations: int
+    converged: bool
+    metrics: list[dict] = field(default_factory=list)
+
+
+def _teleport_frame(g: Graph, seeds: dict[str, float] | None) -> DataFrame:
+    """(id, v) teleport distribution; uniform 1/n when seeds is None.
+
+    Seed validation mirrors ``pagerank.rs:106-131``: non-empty, weights
+    positive and finite, names must exist in the graph.
+    """
+    n = g.num_vertices
+    if seeds is None:
+        return g.vocab.select("id", F.lit(1.0 / n).alias("v"))
+    if len(seeds) == 0:
+        raise InvalidParameterError("seed list must not be empty")
+    for name, w in seeds.items():
+        if not (isinstance(w, (int, float)) and math.isfinite(w) and w > 0):
+            raise InvalidParameterError(
+                f"seed weight for {name!r} must be positive and finite, got {w!r}"
+            )
+    total = float(sum(seeds.values()))
+    rows = [(str(k), float(v) / total) for k, v in seeds.items()]
+    seed_df = g.spark.createDataFrame(rows, "name string, v double")
+    matched = seed_df.join(g.vocab, "name")
+    if matched.count() != len(rows):
+        known = {r["name"] for r in matched.select("name").collect()}
+        missing = sorted(set(seeds) - known)
+        raise InvalidParameterError(f"unknown seed name(s): {missing}")
+    return g.vocab.join(seed_df, "name", "left").select(
+        "id", F.coalesce("v", F.lit(0.0)).alias("v")
+    )
+
+
+def _reverse_rewrite(edges: DataFrame) -> DataFrame:
+    """Sink::Reverse topology rewrite (``pagerank.rs:147-164``).
+
+    For each sink s (no out-edges), add edges s→u for every distinct
+    in-neighbor u of s. Every vertex is an edge endpoint, so each sink has
+    ≥1 in-neighbor and no sinks remain afterwards.
+    """
+    outs = edges.select("src").distinct()
+    sink_in = (
+        edges.join(
+            outs.withColumnRenamed("src", "dst"), "dst", "left_anti"
+        )  # edges whose dst is a sink
+        .select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        .distinct()
+    )
+    return edges.unionAll(sink_in)
+
+
+def pagerank(
+    g: Graph,
+    damping: float = 0.85,
+    iterations: int = 10,
+    sink: str = "reverse",
+    seeds: dict[str, float] | None = None,
+    tol: float | None = None,
+    max_iterations: int = 200,
+    checkpoint_interval: int = 10,
+    checkpoint_dir: str | None = None,
+    run_id: str | None = None,
+    resume: bool = False,
+    hub_threshold: int = 1_000_000,
+    hub_salts: int = 16,
+) -> PageRankResult:
+    """Fit PageRank. ``tol=None`` → fixed ``iterations`` (reference parity
+    mode, default 10); ``tol`` set → iterate to L1 delta < tol (north-rule
+    convergence mode, bounded by ``max_iterations``).
+
+    ``checkpoint_dir`` + ``run_id`` enable durable Parquet checkpoints every
+    ``checkpoint_interval`` iterations; ``resume=True`` continues from the
+    newest durable checkpoint of the same run.
+    """
+    if sink not in _SINKS:
+        raise InvalidParameterError(f"sink must be one of {_SINKS}, got {sink!r}")
+    if not (0.0 < damping < 1.0):
+        raise InvalidParameterError(f"damping must be in (0,1), got {damping}")
+
+    spark = g.spark
+    n = g.num_vertices
+    nparts = g.edges.rdd.getNumPartitions()
+
+    # ---- one-time setup (loop-invariant, persisted) --------------------
+    edges = dedup_edges(g.edges)
+    if sink == "reverse":
+        edges = _reverse_rewrite(edges)
+
+    outdeg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
+    # scatter frame: (src, dst, inv) — inverse out-degree folded in so the
+    # per-iteration join multiplies instead of dividing after a second join
+    scatter = (
+        edges.join(outdeg, "src")
+        .select("src", "dst", (F.lit(1.0) / F.col("outdeg")).alias("inv"))
+        .repartition(nparts, "src")
+        .persist(_STORAGE)
+    )
+
+    # hub salting: split the scatter join key for very-high-out-degree
+    # sources so a single hub's edges don't land in one join task.
+    hub_ids = [
+        r["src"]
+        for r in outdeg.where(F.col("outdeg") >= hub_threshold)
+        .select("src")
+        .collect()
+    ]
+    salted = len(hub_ids) > 0
+    if salted:
+        hubs = set(hub_ids)
+        is_hub = F.col("src").isin(list(hubs))
+        scatter = scatter.withColumn(
+            "salt",
+            F.when(is_hub, F.pmod(F.hash("dst"), F.lit(hub_salts))).otherwise(
+                F.lit(0)
+            ),
+        ).repartition(nparts, "src", "salt").persist(_STORAGE)
+        salt_df = spark.range(hub_salts).select(F.col("id").cast("int").alias("salt"))
+
+    # vertex frame: (id, v, is_sink) — static across iterations
+    vstat = (
+        _teleport_frame(g, seeds)
+        .join(
+            outdeg.select(F.col("src").alias("id"), F.lit(False).alias("ns")),
+            "id",
+            "left",
+        )
+        .select("id", "v", F.coalesce(F.col("ns"), F.lit(True)).alias("is_sink"))
+        .repartition(nparts, "id")
+        .persist(_STORAGE)
+    )
+    vstat.count()
+
+    # ---- init / resume -------------------------------------------------
+    ckpt: CheckpointManager | None = None
+    if checkpoint_dir is not None:
+        ckpt = CheckpointManager(spark, checkpoint_dir, run_id or uuid.uuid4().hex)
+
+    metrics: list[dict] = []
+    start_iter = 0
+    ranks = None
+    if resume and ckpt is not None:
+        latest = ckpt.latest()
+        if latest is not None:
+            start_iter, state, metrics = latest
+            ranks = (
+                state.join(vstat.select("id", "is_sink"), "id")
+                .repartition(nparts, "id")
+                .transform(truncate_lineage)
+            )
+    if ranks is None:
+        # init = teleport vector (pagerank.rs:170-173)
+        ranks = truncate_lineage(vstat.select(
+            "id", F.col("v").alias("rank"), "is_sink"
+        ))
+
+    def step(ranks: DataFrame, with_old: bool) -> DataFrame:
+        """One lazy power-iteration step.
+
+        ``with_old=True`` additionally carries the previous rank as ``old``
+        (needed for the L1 delta and the ``all`` sink's self-exclusion);
+        every reference to ``ranks`` in the step plan multiplies the plan
+        size when steps are chained, so the parity path keeps references
+        to a minimum.
+        """
+        # scatter + gather
+        r = ranks.withColumnRenamed("id", "src").select("src", "rank")
+        if salted:
+            r = r.join(F.broadcast(salt_df), F.col("src").isin(list(hubs)), "left") \
+                 .select("src", "rank", F.coalesce("salt", F.lit(0)).alias("salt"))
+            contrib = scatter.join(r, ["src", "salt"])
+        else:
+            contrib = scatter.join(r, "src")
+        gathered = contrib.groupBy(F.col("dst").alias("id")).agg(
+            F.sum(F.col("rank") * F.col("inv")).alias("m")
+        )
+
+        joined = vstat.join(gathered, "id", "left")
+        if with_old or sink == "all":
+            joined = joined.join(
+                ranks.select("id", F.col("rank").alias("old")), "id"
+            )
+        if sink in ("uniform", "all"):
+            # sink-mass scalar folded into the plan as a broadcast 1-row
+            # aggregate — no driver action per iteration
+            s_df = ranks.agg(
+                F.sum(
+                    F.when(F.col("is_sink"), F.col("rank")).otherwise(0.0)
+                ).alias("_smass")
+            )
+            joined = joined.crossJoin(F.broadcast(s_df))
+            if sink == "uniform":
+                sink_term = F.col("_smass") * F.col("v")
+            else:  # all: (S - p_i·[i sink]) / (n-1), pagerank.rs:194-201
+                sink_term = (
+                    (
+                        F.col("_smass")
+                        - F.when(F.col("is_sink"), F.col("old")).otherwise(0.0)
+                    )
+                    / F.lit(float(n - 1))
+                    if n > 1
+                    else F.lit(0.0)
+                )
+        else:
+            sink_term = F.lit(0.0)
+
+        cols = ["id", "is_sink"] + (["old"] if (with_old or sink == "all") else [])
+        return joined.select(
+            *cols,
+            (
+                F.lit(damping) * (F.coalesce("m", F.lit(0.0)) + sink_term)
+                + F.lit(1.0 - damping) * F.col("v")
+            ).alias("rank"),
+        )
+
+    total_iters = iterations if tol is None else max_iterations
+    # Convergence mode needs the L1 delta every iteration → one
+    # materialization per step. Parity mode (reference semantics: fixed
+    # iteration budget, no early exit, pagerank.rs:104-105) chains lazy
+    # steps into one Spark job; chain length is bounded by how many times
+    # each step's plan references `ranks` (plan size ~ refs^chain).
+    if tol is not None:
+        chain = 1
+    else:
+        refs = {"none": 1, "reverse": 1, "uniform": 2, "all": 3}[sink]
+        chain = {1: 8, 2: 3, 3: 1}[refs]
+    converged = False
+    it = start_iter
+
+    while it < total_iters:
+        t0 = time.monotonic()
+        steps = min(chain, total_iters - it)
+        need_delta = tol is not None
+        cur = ranks
+        for k in range(steps):
+            cur = step(cur, with_old=need_delta and k == steps - 1)
+
+        # materialize + truncate lineage every loop turn — without
+        # truncation the logical plan compounds per iteration
+        if need_delta:
+            new_ranks = truncate_lineage(cur.select(
+                "id", "rank", "is_sink",
+                F.abs(F.col("rank") - F.col("old")).alias("_d"),
+            ))
+            agg = new_ranks.agg(
+                F.sum("_d").alias("l1"), F.sum("rank").alias("mass")
+            ).first()
+            l1 = float(agg["l1"])
+        else:
+            new_ranks = truncate_lineage(cur.select("id", "rank", "is_sink"))
+            agg = new_ranks.agg(F.sum("rank").alias("mass")).first()
+            l1 = None
+        mass = float(agg["mass"])
+        if not math.isfinite(mass) or (l1 is not None and not math.isfinite(l1)):
+            raise NumericError(f"pagerank diverged at iteration {it}: mass={mass}")
+
+        ranks = new_ranks
+        it += steps
+        metrics.append(
+            {
+                "iteration": it,
+                "steps": steps,
+                "l1_delta": l1,
+                "mass": mass,
+                "seconds": time.monotonic() - t0,
+            }
+        )
+
+        logger.info(
+            "pagerank iter=%d l1=%s mass=%.6f %.2fs",
+            it, f"{l1:.3e}" if l1 is not None else "-", mass,
+            metrics[-1]["seconds"],
+        )
+
+        if ckpt is not None and it % checkpoint_interval == 0:
+            ckpt.save(it, ranks.select("id", "rank"), metrics)
+
+        if tol is not None and l1 < tol:
+            converged = True
+            break
+
+    scores = sorted_scores(
+        g.with_names(ranks.select("id", F.col("rank").alias("score")))
+        .select("name", "score")
+    )
+    scatter.unpersist()
+    vstat.unpersist()
+    return PageRankResult(
+        scores=scores,
+        ranks=ranks,
+        iterations=it,
+        converged=converged if tol is not None else True,
+        metrics=metrics,
+    )

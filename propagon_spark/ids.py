@@ -4,16 +4,22 @@ Spark replacement for the reference's interner
 (``/root/reference/crates/propagon/src/interner.rs:14-46``): an append-only
 name↔u32 map with a dense id space. Here the vocab is a DataFrame
 ``(name: string, id: long)`` built once per graph and broadcast-joined
-wherever the reference would do a hash lookup. Ids are dense ``0..n-1`` and
-**deterministic** (assigned in name order), with no u32 cap — the reference
+wherever the reference would do a hash lookup. No u32 cap — the reference
 accepts a 2^32 entity ceiling (``docs/PRD.md:421``); at 10^12-file scale we
 need longs.
 
-Scalable dense-id assignment: a single global ``row_number`` window is a
-one-partition bottleneck, so ids are assigned bucket-locally — hash names
-into B buckets, count per bucket, broadcast the cumulative offsets, then
-``offset[bucket] + row_number() within bucket`` — two small jobs, no global
-sort, deterministic.
+Ids are dense ``0..n-1`` and **order-preserving**: ``id(a) < id(b) iff
+name(a) < name(b)``. That makes every integer min/tie-break reduction in
+the engine (connected components representative, LPA tie-breaks)
+equivalent to a *name*-ordered tie-break — a total order any independent
+implementation (or SQL oracle) can reproduce, and one that is independent
+of partitioning, parallelism, and hash seeds.
+
+Scalable rank assignment without a global sort bottleneck: range-partition
+the distinct names into B ordered buckets, count per bucket, broadcast the
+cumulative offsets, then ``offset[bucket] + row_number() within bucket``.
+The global rank is boundary-independent (it's just "number of names before
+mine"), so sampling jitter in the range partitioner cannot change ids.
 """
 
 from __future__ import annotations
@@ -23,14 +29,12 @@ from pyspark.sql import functions as F
 
 
 def build_vocab(names: DataFrame, num_buckets: int = 256) -> DataFrame:
-    """Build ``(name, id)`` with dense deterministic long ids.
-
-    ``names`` must have a single column ``name`` (any orderable type; it is
-    kept as-is). Ids run 0..n-1, assigned in (bucket, name) order where
-    bucket = pmod(hash(name), B) — deterministic for a fixed B.
-    """
+    """Build ``(name, id)`` with dense, deterministic, order-preserving
+    long ids. ``names`` must have a single column ``name``."""
     d = names.select("name").where(F.col("name").isNotNull()).distinct()
-    d = d.withColumn("_b", F.pmod(F.hash("name"), F.lit(num_buckets)))
+    d = d.repartitionByRange(num_buckets, "name").withColumn(
+        "_b", F.spark_partition_id()
+    )
 
     counts = {
         r["_b"]: r["cnt"]
@@ -38,11 +42,13 @@ def build_vocab(names: DataFrame, num_buckets: int = 256) -> DataFrame:
     }
     offsets: dict[int, int] = {}
     acc = 0
-    for b in range(num_buckets):
+    for b in sorted(counts):
         offsets[b] = acc
-        acc += counts.get(b, 0)
+        acc += counts[b]
 
     spark = names.sparkSession
+    if not offsets:
+        return spark.createDataFrame([], "name string, id long")
     offsets_df = spark.createDataFrame(
         [(b, off) for b, off in offsets.items()], "_b int, _off long"
     )

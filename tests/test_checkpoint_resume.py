@@ -1,0 +1,67 @@
+"""Checkpoint/resume equals uninterrupted run (north rule; CLI analogue
+crates/propagon-cli/tests/golden.rs:214-252)."""
+
+import json
+import os
+
+import pytest
+
+from conftest import make_edges, scores_dict
+
+from propagon_spark.graph import Graph
+from propagon_spark.graph.pagerank import pagerank
+
+
+ROWS = [("2", "1"), ("2", "3"), ("3", "1"), ("4", "1"), ("4", "2"), ("4", "3"),
+        ("1", "5"), ("5", "2")]
+
+
+@pytest.fixture(scope="module")
+def g(spark):
+    gr = Graph.from_edges(make_edges(spark, ROWS))
+    yield gr
+    gr.unpersist()
+
+
+def test_resume_equals_continuous(spark, g, tmp_path):
+    ck = str(tmp_path / "ck")
+    cont = scores_dict(
+        pagerank(g, sink="uniform", tol=1e-10, max_iterations=150).scores
+    )
+
+    # interrupted run: stop after 6 iterations (checkpoint every 3)
+    partial = pagerank(
+        g, sink="uniform", tol=1e-30, max_iterations=6,
+        checkpoint_interval=3, checkpoint_dir=ck, run_id="r1",
+    )
+    assert not partial.converged
+    # resume from durable checkpoint and run to convergence
+    # (max_iterations is a TOTAL ceiling including resumed-from iterations)
+    resumed = pagerank(
+        g, sink="uniform", tol=1e-10, max_iterations=150,
+        checkpoint_interval=3, checkpoint_dir=ck, run_id="r1", resume=True,
+    )
+    assert resumed.converged
+    res = scores_dict(resumed.scores)
+    for k in cont:
+        assert abs(cont[k] - res[k]) < 1e-9, k
+    # metrics carry the pre-interrupt history and continue at iteration 7
+    # (no reset to 0) — evidence the run resumed mid-convergence
+    iters = [m["iteration"] for m in resumed.metrics]
+    assert iters[:6] == [1, 2, 3, 4, 5, 6]
+    assert iters[6] == 7
+
+
+def test_manifest_contents(spark, g, tmp_path):
+    ck = str(tmp_path / "ck2")
+    pagerank(
+        g, sink="uniform", iterations=4, checkpoint_interval=2,
+        checkpoint_dir=ck, run_id="m1",
+    )
+    root = os.path.join(ck, "m1")
+    manifests = sorted(f for f in os.listdir(root) if f.startswith("manifest"))
+    assert manifests
+    m = json.load(open(os.path.join(root, manifests[-1])))
+    assert m["iteration"] in (2, 4)
+    assert m["partitions"] and all("rows" in p for p in m["partitions"])
+    assert m["metrics"][-1]["mass"] == pytest.approx(1.0, abs=1e-9)

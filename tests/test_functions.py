@@ -1,0 +1,144 @@
+"""Training-data pipeline functions: text, dedup, similarity, multimodal."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from propagon_spark.functions.dedup import (
+    exact_duplicates,
+    drop_exact_duplicates,
+    minhash_near_duplicates,
+    ngram_jaccard_pairs,
+    simhash_near_duplicates,
+)
+from propagon_spark.functions.similarity import cosine_topk, lsh_cosine_topk
+from propagon_spark.functions.text import (
+    fingerprint,
+    lang_id,
+    quality_features,
+    token_count,
+)
+from propagon_spark.functions.multimodal import (
+    extract_features,
+    frame_sample,
+    synth_assets,
+)
+
+
+def docs(spark, texts):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+
+
+def test_token_count(spark):
+    d = docs(spark, ["a b  c", "", "   ", "one"])
+    out = d.select("doc_id", token_count("text").alias("n")).collect()
+    assert {r["doc_id"]: r["n"] for r in out} == {0: 3, 1: 0, 2: 0, 3: 1}
+
+
+def test_quality_features(spark):
+    d = docs(spark, ["the cat and the dog of the house.", "!!!???..."])
+    rows = {r["doc_id"]: r for r in quality_features(d).collect()}
+    assert rows[0]["quality_score"] > rows[1]["quality_score"]
+    assert rows[1]["punct_ratio"] == 1.0
+    assert rows[0]["n_tokens"] == 8
+
+
+def test_lang_id(spark):
+    d = docs(
+        spark,
+        [
+            "the quick fox and the dog of the farm",
+            "der Hund und die Katze und der Vogel",
+            "12345",
+        ],
+    )
+    out = {r["doc_id"]: r["lang_pred"] for r in lang_id(d).collect()}
+    assert out == {0: "en", 1: "de", 2: "und"}
+
+
+def test_fingerprint_deterministic(spark):
+    d = docs(spark, ["hello world document", "hello world document", "zzz"])
+    out = [r["fingerprint"] for r in fingerprint(d).orderBy("doc_id").collect()]
+    assert out[0] == out[1]
+    assert out[0] != out[2]  # "zzz" is < 8 bytes → 0
+
+
+def test_exact_dedup(spark):
+    d = docs(spark, ["same", "same", "other"])
+    groups = {r["keep_id"]: r["copies"] for r in exact_duplicates(d).collect()}
+    assert groups == {0: 2, 2: 1}
+    kept = sorted(r["doc_id"] for r in drop_exact_duplicates(d).collect())
+    assert kept == [0, 2]
+
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog and then runs far away "
+    "into the deep dark forest where nobody ever goes at night"
+)
+
+
+def test_minhash_near_duplicates(spark):
+    d = docs(spark, [BASE, BASE + " extra tail words", "completely different "
+                     "content about spark dataframes and shuffle partitions"])
+    pairs = {(r["a"], r["b"]) for r in
+             minhash_near_duplicates(d, threshold=0.5).collect()}
+    assert (0, 1) in pairs
+    assert (0, 2) not in pairs and (1, 2) not in pairs
+
+
+def test_simhash_near_duplicates(spark):
+    d = docs(spark, [BASE, BASE.replace("lazy", "hazy"), "unrelated text "
+                     "entirely about graphs and pagerank iterations"])
+    pairs = {(r["a"], r["b"]) for r in
+             simhash_near_duplicates(d, max_hamming=8).collect()}
+    assert (0, 1) in pairs
+
+
+def test_ngram_jaccard(spark):
+    d = docs(spark, [BASE, BASE + " tail", "other words entirely here now"])
+    rows = {(r["a"], r["b"]): r["jaccard"] for r in
+            ngram_jaccard_pairs(d, n=3, threshold=0.3).collect()}
+    assert (0, 1) in rows and rows[(0, 1)] > 0.8
+
+
+def embeddings(spark):
+    vecs = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.9, 0.1, 0.0]),
+        (2, [0.0, 1.0, 0.0]),
+        (3, [0.0, 0.0, 1.0]),
+    ]
+    return spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+
+
+def test_cosine_topk(spark):
+    out = cosine_topk(embeddings(spark), k=1).collect()
+    top = {r["query_id"]: r["neighbor_id"] for r in out}
+    assert top[0] == 1 and top[1] == 0
+    c01 = [r["cosine"] for r in out if r["query_id"] == 0][0]
+    assert abs(c01 - 0.9 / math.sqrt(0.81 + 0.01)) < 1e-9
+
+
+def test_lsh_cosine_topk_recovers_close_pair(spark):
+    out = lsh_cosine_topk(
+        embeddings(spark), k=1, num_planes=8, num_tables=8, dim=3
+    ).collect()
+    top = {r["query_id"]: r["neighbor_id"] for r in out}
+    assert top.get(0) == 1
+
+
+def test_multimodal_stub(spark):
+    assets = synth_assets(spark, n=12)
+    feats = extract_features(assets, num_features=4, fake=True)
+    rows = feats.collect()
+    assert len(rows) == 12
+    assert all(len(r["features"]) == 4 for r in rows)
+    # real decode is stubbed
+    with pytest.raises(Exception):
+        extract_features(assets, fake=False).collect()
+    frames = frame_sample(assets.where(F.col("media_type") == "video"),
+                          every_ms=1000, fake=True)
+    assert frames.count() > 0

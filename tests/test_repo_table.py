@@ -1,0 +1,84 @@
+"""Repo-table synthesis, co-commit edge derivation, sha256 invariant
+(SURVEY.md §7.2, BASELINE.json input_hint)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from propagon_spark.graph import Graph
+from propagon_spark.graph.pagerank import pagerank
+from propagon_spark.sources.repo_table import (
+    derive_edges,
+    synth_repo_table,
+    verify_content_sha,
+)
+
+
+@pytest.fixture(scope="module")
+def repo_df(spark):
+    df = synth_repo_table(spark, n_repos=3, n_files_per_repo=10, n_commits_per_repo=8)
+    df = df.localCheckpoint(eager=True)
+    return df
+
+
+def test_schema_and_determinism(spark, repo_df):
+    assert set(repo_df.columns) == {"repo", "path", "commit", "lang", "content"}
+    assert repo_df.count() > 0
+    again = synth_repo_table(
+        spark, n_repos=3, n_files_per_repo=10, n_commits_per_repo=8
+    )
+    sym_diff = repo_df.exceptAll(again).count() + again.exceptAll(repo_df).count()
+    assert sym_diff == 0
+
+
+def test_derive_edges_matches_manual(spark):
+    rows = [
+        ("r", "a.py", "c1", "py", "x"),
+        ("r", "b.py", "c1", "py", "y"),
+        ("r", "a.py", "c2", "py", "x"),
+        ("r", "b.py", "c2", "py", "y"),
+        ("r", "c.py", "c2", "py", "z"),
+        ("s", "a.py", "c1", "py", "w"),  # same commit id, different repo
+    ]
+    df = spark.createDataFrame(
+        rows, "repo string, path string, commit string, lang string, content string"
+    )
+    e = {(r["src"], r["dst"]): r["weight"] for r in derive_edges(df, symmetric=False).collect()}
+    assert e == {
+        ("r:a.py", "r:b.py"): 2.0,
+        ("r:a.py", "r:c.py"): 1.0,
+        ("r:b.py", "r:c.py"): 1.0,
+    }
+    sym = derive_edges(df, symmetric=True)
+    assert sym.count() == 6
+
+
+def test_commit_cap(spark):
+    rows = [("r", f"f{i}.py", "big", "py", "x") for i in range(5)]
+    rows += [("r", "a.py", "ok", "py", "x"), ("r", "b.py", "ok", "py", "y")]
+    df = spark.createDataFrame(
+        rows, "repo string, path string, commit string, lang string, content string"
+    )
+    e = derive_edges(df, max_commit_files=4, symmetric=False).collect()
+    assert {(r["src"], r["dst"]) for r in e} == {("r:a.py", "r:b.py")}
+
+
+def test_sha_invariant_holds_and_detects(spark, repo_df):
+    assert verify_content_sha(repo_df, repo_df) == 0
+    tampered = repo_df.withColumn(
+        "content",
+        F.when(F.col("path") == "src/f0.py", F.lit("EVIL")).otherwise(
+            F.col("content")
+        ),
+    )
+    assert verify_content_sha(tampered, repo_df) > 0
+
+
+def test_end_to_end_pagerank_over_derived_graph(spark, repo_df):
+    edges = derive_edges(repo_df)
+    g = Graph.from_edges(edges, weight="weight")
+    res = pagerank(g, iterations=5, sink="uniform")
+    rows = res.scores.collect()
+    assert len(rows) == g.num_vertices
+    total = sum(r["score"] for r in rows)
+    assert abs(total - 1.0) < 1e-6
+    g.unpersist()
