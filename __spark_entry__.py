@@ -234,6 +234,32 @@ def q_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_near_duplicates(_doc(spark, sf_dir), threshold=0.5)
 
 
+def q_birank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # bipartite supplier → part endorsements from lineitem (side-local id
+    # spaces; seeded random init ⇒ tier-S rows-only check, like the
+    # reference's own golden treatment of birank)
+    from propagon_spark.graph.birank import birank
+
+    li = tpch_graph.load(spark, sf_dir, "lineitem").select(
+        F.col("l_suppkey").alias("src"),
+        F.col("l_partkey").alias("dst"),
+        F.col("l_quantity").alias("weight"),
+    )
+    res = birank(li, iterations=10)
+    return res.dst_scores
+
+
+def q_bootstrap_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # bootstrap CIs over in-degree on the co-occurrence graph (Poisson
+    # resampling; seeded but RNG-dependent ⇒ rows-only)
+    from propagon_spark.graph.bootstrap import bootstrap
+    from propagon_spark.graph.degree import degree
+
+    g = _graph(spark, sf_dir, symmetric=False, min_weight=2)
+    res = bootstrap(g, lambda rg: degree(rg, "in"), replicates=8)
+    return res.intervals
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "edge_derivation": q_edge_derivation,
@@ -255,6 +281,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_converged": q_pagerank_converged,
         "kcore_minw2": q_kcore,
         "minhash_neardup": q_minhash_neardup,
+        "birank_supplier_part": q_birank,
+        "bootstrap_degree_ci": q_bootstrap_degree,
     }
 
 

@@ -1,0 +1,108 @@
+"""BiRank (bipartite ranking).
+
+Reference: ``/root/reference/crates/propagon/src/algos/birank.rs:140-235``.
+Key semantics:
+- **side-local id spaces**: the same name on the src side and the dst side
+  is two different entities (``birank.rs:3-6,147-173``);
+- sqrt-degree normalization: ``d[i] = sqrt(Σ w)`` per side;
+- alternating sweeps ``p ← f(u)`` then ``u ← f(p)`` with the *refreshed*
+  other side; with no priors configured the prior term collapses so α/β
+  scaling cancels (``next = α·s + (1−α)·s = s``, ``birank.rs:196-199``);
+- seeded random init (v2 RNG, default seed 2019), fixed 10 iterations.
+
+Spark mapping: two vocab spaces; the sweep is a join-agg with
+``w/(d_l·d_r)`` folded into the edge frame once; random init via
+``F.rand(seed)`` (RNG stream differs from the reference's Xoshiro, so
+parity with golden files is rank-correlation, not numeric — same tier-S
+contract as the reference's own golden tests,
+``crates/propagon-cli/tests/golden.rs:176-212``).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from propagon_spark.errors import EmptyDatasetError
+from propagon_spark.graph.core import sorted_scores
+from propagon_spark.ids import build_vocab
+from propagon_spark.plans.iterate import truncate_lineage
+
+
+@dataclass
+class BiRankResult:
+    src_scores: DataFrame  # (name, score)
+    dst_scores: DataFrame  # (name, score)
+    iterations: int
+
+
+def birank(
+    edges: DataFrame,
+    iterations: int = 10,
+    alpha: float = 1.0,
+    beta: float = 1.0,
+    seed: int = 2019,
+) -> BiRankResult:
+    """Fit BiRank on a raw (src, dst[, weight]) frame (NOT a Graph — the
+    two sides get independent id spaces)."""
+    cols = edges.columns
+    w = F.col("weight").cast("double") if "weight" in cols else F.lit(1.0)
+    raw = edges.select(
+        F.col("src").cast("string").alias("sname"),
+        F.col("dst").cast("string").alias("dname"),
+        w.alias("w"),
+    )
+    if raw.rdd.isEmpty():
+        raise EmptyDatasetError("empty edge dataset")
+
+    sv = build_vocab(raw.select(F.col("sname").alias("name")))
+    dv = build_vocab(raw.select(F.col("dname").alias("name")))
+
+    e = (
+        raw.join(sv.select(F.col("name").alias("sname"), F.col("id").alias("si")), "sname")
+        .join(dv.select(F.col("name").alias("dname"), F.col("id").alias("di")), "dname")
+        .select("si", "di", "w")
+    )
+    d_src = e.groupBy("si").agg(F.sqrt(F.sum("w")).alias("ds"))
+    d_dst = e.groupBy("di").agg(F.sqrt(F.sum("w")).alias("dd"))
+    # normalized edge weight w/(d_src·d_dst), computed once
+    en = truncate_lineage(
+        e.join(d_src, "si")
+        .join(d_dst, "di")
+        .select("si", "di", (F.col("w") / (F.col("ds") * F.col("dd"))).alias("nw"))
+    )
+
+    # seeded random init per side (deterministic given seed + id order)
+    u = truncate_lineage(
+        sv.select(F.col("id").alias("si")).withColumn("u", F.rand(seed))
+    )
+    p = truncate_lineage(
+        dv.select(F.col("id").alias("di")).withColumn("p", F.rand(seed + 1))
+    )
+
+    for _ in range(iterations):
+        # p ← normalized gather of u (alpha cancels with no priors)
+        p = truncate_lineage(
+            en.join(u, "si")
+            .groupBy("di")
+            .agg(F.sum(F.col("nw") * F.col("u")).alias("p"))
+        )
+        u = truncate_lineage(
+            en.join(p, "di")
+            .groupBy("si")
+            .agg(F.sum(F.col("nw") * F.col("p")).alias("u"))
+        )
+
+    src_scores = sorted_scores(
+        sv.join(u, sv["id"] == u["si"], "left").select(
+            "name", F.coalesce("u", F.lit(0.0)).alias("score")
+        )
+    )
+    dst_scores = sorted_scores(
+        dv.join(p, dv["id"] == p["di"], "left").select(
+            "name", F.coalesce("p", F.lit(0.0)).alias("score")
+        )
+    )
+    return BiRankResult(src_scores, dst_scores, iterations)

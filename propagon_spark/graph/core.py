@@ -79,11 +79,9 @@ class Graph:
         names = raw.select(F.col("src_name").alias("name")).unionAll(
             raw.select(F.col("dst_name").alias("name"))
         )
-        vocab = build_vocab(names)
-        vocab.persist(StorageLevel.MEMORY_AND_DISK)
+        vocab = build_vocab(names)  # materialized flat leaf (see ids.py)
         n = vocab.count()
         if n == 0:
-            vocab.unpersist()
             raise EmptyDatasetError("empty edge dataset")
 
         sv = vocab.select(F.col("name").alias("src_name"), F.col("id").alias("src"))
@@ -109,7 +107,7 @@ class Graph:
             num_vertices=n,
             num_edge_rows=m,
         )
-        g._persisted = [vocab, e]
+        g._persisted = [e]
         return g
 
     @classmethod

@@ -19,7 +19,14 @@ from propagon_spark.session import get_spark  # noqa: E402
 @pytest.fixture(scope="session")
 def spark():
     os.environ.setdefault("PROPAGON_SHUFFLE_PARTITIONS", "4")
-    s = get_spark(app_name="propagon-tests", master="local[4]", shuffle_partitions=4)
+    # AQE off for tests: its per-query re-planning overhead dominates on
+    # tiny fixture graphs (production default in session.py keeps it on)
+    s = get_spark(
+        app_name="propagon-tests",
+        master="local[4]",
+        shuffle_partitions=4,
+        extra_conf={"spark.sql.adaptive.enabled": "false"},
+    )
     yield s
     s.stop()
 
