@@ -25,13 +25,23 @@ from propagon_spark.session import get_spark
 from propagon_spark.graph.core import Graph
 from propagon_spark.graph.pagerank import pagerank
 from propagon_spark.sources.tpch_graph import cocommit_edges
+from propagon_spark.sources.repo_table import synth_repo_table, derive_edges
 
 cores = int(sys.argv[1])
 sf_dir = sys.argv[2]
 spark = get_spark(app_name=f"scaling-{{cores}}", master=f"local[{{cores}}]",
-                  shuffle_partitions=cores)
+                  shuffle_partitions=2 * cores)
 spark.sparkContext.setLogLevel("ERROR")
-edges = cocommit_edges(spark, sf_dir, symmetric=True)
+if sf_dir.startswith("synth"):
+    # deterministic seeded repo table large enough to be compute-bound;
+    # synth = ~222M directed co-commit edges / 1M file vertices,
+    # synth-small = ~22M / 100k
+    n_repos = 100 if sf_dir == "synth-small" else 1000
+    repo = synth_repo_table(spark, n_repos=n_repos, n_files_per_repo=1000,
+                            n_commits_per_repo=150, touch_prob_mod=25)
+    edges = derive_edges(repo, max_commit_files=100, symmetric=True)
+else:
+    edges = cocommit_edges(spark, sf_dir, symmetric=True)
 g = Graph.from_edges(edges, weight="weight")
 dedup = edges.select("src", "dst").distinct().count()
 # warm-up iteration so JIT/codegen cost is not charged to either level
@@ -62,9 +72,7 @@ def run_level(cores: int, sf_dir: str) -> dict:
 
 
 def main() -> None:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else os.environ.get(
-        "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"
-    )
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "synth"
     n = int(sys.argv[2]) if len(sys.argv) > 2 else 8
     n4 = int(sys.argv[3]) if len(sys.argv) > 3 else 32
 

@@ -260,6 +260,21 @@ def q_bootstrap_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.intervals
 
 
+def q_harmonic_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # sampled-source harmonic estimator on the sparse subgraph (iterative
+    # BFS fixpoint ⇒ rows-only)
+    from propagon_spark.graph.harmonic import harmonic
+
+    g = _graph(spark, sf_dir, symmetric=False, min_weight=2)
+    return harmonic(g, "total", sample=64, seed=2014)
+
+
+def q_rank_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from propagon_spark.graph.rank_centrality import rank_centrality
+
+    return rank_centrality(_pairwise(spark, sf_dir), iterations=50)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "edge_derivation": q_edge_derivation,
@@ -283,6 +298,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_neardup": q_minhash_neardup,
         "birank_supplier_part": q_birank,
         "bootstrap_degree_ci": q_bootstrap_degree,
+        "harmonic_sampled": q_harmonic_sampled,
+        "rank_centrality": q_rank_centrality,
     }
 
 
