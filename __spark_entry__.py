@@ -275,6 +275,12 @@ def q_rank_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rank_centrality(_pairwise(spark, sf_dir), iterations=50)
 
 
+def q_random_walker(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from propagon_spark.graph.random_walker import random_walker
+
+    return random_walker(_pairwise(spark, sf_dir), iterations=50)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "edge_derivation": q_edge_derivation,
@@ -300,6 +306,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bootstrap_degree_ci": q_bootstrap_degree,
         "harmonic_sampled": q_harmonic_sampled,
         "rank_centrality": q_rank_centrality,
+        "random_walker": q_random_walker,
     }
 
 

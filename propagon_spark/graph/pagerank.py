@@ -229,11 +229,17 @@ def pagerank(
         size when steps are chained, so the parity path keeps references
         to a minimum.
         """
-        # scatter + gather
-        r = ranks.withColumnRenamed("id", "src").select("src", "rank")
+        # scatter + gather — shuffle-hash joins: the ranks side is a
+        # vertex-sized frame, and broadcasting it every iteration is a
+        # serial driver collect that caps scaling; a hash exchange of the
+        # small side is parallel and the big edge side stays put
+        r = ranks.withColumnRenamed("id", "src").select("src", "rank").hint(
+            "shuffle_hash"
+        )
         if salted:
             r = r.join(F.broadcast(salt_df), F.col("src").isin(list(hubs)), "left") \
-                 .select("src", "rank", F.coalesce("salt", F.lit(0)).alias("salt"))
+                 .select("src", "rank", F.coalesce("salt", F.lit(0)).alias("salt")) \
+                 .hint("shuffle_hash")
             contrib = scatter.join(r, ["src", "salt"])
         else:
             contrib = scatter.join(r, "src")
@@ -241,10 +247,13 @@ def pagerank(
             F.sum(F.col("rank") * F.col("inv")).alias("m")
         )
 
-        joined = vstat.join(gathered, "id", "left")
+        joined = vstat.join(gathered.hint("shuffle_hash"), "id", "left")
         if with_old or sink == "all":
             joined = joined.join(
-                ranks.select("id", F.col("rank").alias("old")), "id"
+                ranks.select("id", F.col("rank").alias("old")).hint(
+                    "shuffle_hash"
+                ),
+                "id",
             )
         if sink in ("uniform", "all"):
             # sink-mass scalar folded into the plan as a broadcast 1-row
