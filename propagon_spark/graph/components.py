@@ -19,7 +19,7 @@ O(log diameter) behavior on long chains.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
@@ -67,6 +67,7 @@ def _min_label_fixpoint(g: Graph) -> DataFrame:
         lbl_of_lbl = labels.select(
             F.col("id").alias("l1"), F.col("label").alias("ll")
         )
+        obs = Observation()
         updated = (
             updated.join(lbl_of_lbl, "l1", "left")
             .select(
@@ -75,14 +76,20 @@ def _min_label_fixpoint(g: Graph) -> DataFrame:
                 F.least(F.col("l1"), F.coalesce("ll", F.col("l1"))).alias("label"),
             )
             .repartition(nparts, "id")
+            .observe(
+                obs,
+                F.sum(
+                    F.when(F.col("label") != F.col("old"), 1).otherwise(0)
+                ).alias("changed"),
+            )
+            .drop("old")
             # labels feeds three branches of this plan: truncate lineage
-            # every round or the logical plan grows exponentially
-            .transform(truncate_lineage_lazy)
+            # every round or the logical plan grows exponentially; the
+            # changed-count rides the same job as an observed metric
+            .transform(truncate_lineage)
         )
-        changed = updated.agg(
-            F.sum(F.when(F.col("label") != F.col("old"), 1).otherwise(0))
-        ).first()[0]
-        labels = updated.select("id", "label")
+        changed = obs.get["changed"]
+        labels = updated
         if changed == 0:
             break
 

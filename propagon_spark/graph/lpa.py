@@ -20,7 +20,7 @@ per round, all integer reductions, no floats and no Python.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
@@ -68,19 +68,25 @@ def label_propagation(g: Graph, max_rounds: int = 20) -> DataFrame:
             F.max(F.struct(F.col("cnt"), (-F.col("label")).alias("nl"))).alias("b")
         ).select("id", (-F.col("b.nl")).alias("nlabel"))
 
+        obs = Observation()
         updated = (
             labels.withColumnRenamed("label", "old")
             .join(best, "id", "left")
             .select("id", "old", F.coalesce("nlabel", F.col("old")).alias("label"))
             .repartition(nparts, "id")
+            .observe(
+                obs,
+                F.sum(
+                    F.when(F.col("label") != F.col("old"), 1).otherwise(0)
+                ).alias("changed"),
+            )
+            .drop("old")
             # labels appears twice in this plan → truncate lineage each
-            # round to keep the logical plan flat
-            .transform(truncate_lineage_lazy)
+            # round; the changed-count is an observed metric of the same job
+            .transform(truncate_lineage)
         )
-        changed = updated.agg(
-            F.sum(F.when(F.col("label") != F.col("old"), 1).otherwise(0))
-        ).first()[0]
-        labels = updated.select("id", "label")
+        changed = obs.get["changed"]
+        labels = updated
         if changed == 0:
             break
 

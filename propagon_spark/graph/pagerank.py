@@ -43,7 +43,7 @@ import time
 import uuid
 from dataclasses import dataclass, field
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
@@ -130,6 +130,8 @@ def pagerank(
     resume: bool = False,
     hub_threshold: int = 1_000_000,
     hub_salts: int = 16,
+    impl: str = "auto",
+    csr_max_vertices: int = 10_000_000,
 ) -> PageRankResult:
     """Fit PageRank. ``tol=None`` → fixed ``iterations`` (reference parity
     mode, default 10); ``tol`` set → iterate to L1 delta < tol (north-rule
@@ -138,11 +140,18 @@ def pagerank(
     ``checkpoint_dir`` + ``run_id`` enable durable Parquet checkpoints every
     ``checkpoint_interval`` iterations; ``resume=True`` continues from the
     newest durable checkpoint of the same run.
+
+    ``impl``: ``"auto"`` picks the CSR-blocked vectorized kernel
+    (pagerank_csr.py — distributed edge blocks, broadcast vertex state, no
+    per-iteration shuffle) while ``num_vertices <= csr_max_vertices``, the
+    pure-dataflow join kernel beyond; force with ``"csr"`` / ``"join"``.
     """
     if sink not in _SINKS:
         raise InvalidParameterError(f"sink must be one of {_SINKS}, got {sink!r}")
     if not (0.0 < damping < 1.0):
         raise InvalidParameterError(f"damping must be in (0,1), got {damping}")
+    if impl not in ("auto", "csr", "join"):
+        raise InvalidParameterError(f"impl must be auto|csr|join, got {impl!r}")
 
     spark = g.spark
     n = g.num_vertices
@@ -152,6 +161,17 @@ def pagerank(
     edges = dedup_edges(g.edges)
     if sink == "reverse":
         edges = _reverse_rewrite(edges)
+
+    # validate seeds up front (shared by both kernels)
+    _teleport_frame(g, seeds)
+
+    if impl == "csr" or (impl == "auto" and n <= csr_max_vertices):
+        return _run_csr(
+            g, edges, damping=damping, sink=sink, seeds=seeds, tol=tol,
+            iterations=iterations, max_iterations=max_iterations,
+            checkpoint_interval=checkpoint_interval,
+            checkpoint_dir=checkpoint_dir, run_id=run_id, resume=resume,
+        )
 
     outdeg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
     # scatter frame: (src, dst, inv) — inverse out-degree folded in so the
@@ -311,19 +331,32 @@ def pagerank(
             cur = step(cur, with_old=need_delta and k == steps - 1)
 
         # materialize + truncate lineage every loop turn — without
-        # truncation the logical plan compounds per iteration
+        # truncation the logical plan compounds per iteration. Convergence
+        # metrics ride along as observed aggregates of the SAME job
+        # (CollectMetrics), so each iteration is exactly one Spark job.
+        obs = Observation()
         if need_delta:
-            new_ranks = truncate_lineage(cur.select(
-                "id", "rank", "is_sink",
-                F.abs(F.col("rank") - F.col("old")).alias("_d"),
-            ))
-            agg = new_ranks.agg(
-                F.sum("_d").alias("l1"), F.sum("rank").alias("mass")
-            ).first()
+            new_ranks = truncate_lineage(
+                cur.select(
+                    "id", "rank", "is_sink",
+                    F.abs(F.col("rank") - F.col("old")).alias("_d"),
+                )
+                .observe(
+                    obs,
+                    F.sum("_d").alias("l1"),
+                    F.sum("rank").alias("mass"),
+                )
+                .drop("_d")
+            )
+            agg = obs.get
             l1 = float(agg["l1"])
         else:
-            new_ranks = truncate_lineage(cur.select("id", "rank", "is_sink"))
-            agg = new_ranks.agg(F.sum("rank").alias("mass")).first()
+            new_ranks = truncate_lineage(
+                cur.select("id", "rank", "is_sink").observe(
+                    obs, F.sum("rank").alias("mass")
+                )
+            )
+            agg = obs.get
             l1 = None
         mass = float(agg["mass"])
         if not math.isfinite(mass) or (l1 is not None and not math.isfinite(l1)):
@@ -360,6 +393,53 @@ def pagerank(
     )
     scatter.unpersist()
     vstat.unpersist()
+    return PageRankResult(
+        scores=scores,
+        ranks=ranks,
+        iterations=it,
+        converged=converged if tol is not None else True,
+        metrics=metrics,
+    )
+
+
+def _run_csr(
+    g: Graph,
+    edges: DataFrame,
+    damping: float,
+    sink: str,
+    seeds: dict[str, float] | None,
+    tol: float | None,
+    iterations: int,
+    max_iterations: int,
+    checkpoint_interval: int,
+    checkpoint_dir: str | None,
+    run_id: str | None,
+    resume: bool,
+) -> PageRankResult:
+    """Dispatch to the CSR-blocked vectorized kernel (pagerank_csr.py)."""
+    from propagon_spark.graph.pagerank_csr import pagerank_csr, scores_from_vector
+
+    ckpt = None
+    if checkpoint_dir is not None:
+        ckpt = CheckpointManager(g.spark, checkpoint_dir, run_id or uuid.uuid4().hex)
+
+    metrics: list[dict] = []
+    start_iter = 0
+    init_ranks = None
+    if resume and ckpt is not None:
+        latest = ckpt.latest()
+        if latest is not None:
+            start_iter, state, metrics = latest
+            init_ranks = state.select("id", "rank").toPandas()
+
+    p, it, converged, metrics = pagerank_csr(
+        g, edges, damping=damping, sink=sink, seeds=seeds, tol=tol,
+        iterations=iterations, max_iterations=max_iterations,
+        checkpoint_interval=checkpoint_interval, ckpt=ckpt,
+        start_iter=start_iter, init_ranks=init_ranks, metrics=metrics,
+        logger=logger,
+    )
+    scores, ranks = scores_from_vector(g, p)
     return PageRankResult(
         scores=scores,
         ranks=ranks,

@@ -30,6 +30,19 @@ def get_spark(
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     if master is None:
         master = os.environ.get("PROPAGON_SPARK_MASTER", f"local[{cpus}]")
+
+    # make propagon_spark importable in Python workers: without this,
+    # cloudpickle serializes our UDF closures BY VALUE — every query ships
+    # a fresh copy of the module globals, which silently defeats the
+    # worker-resident CSR block cache (pagerank_csr._BLOCK_CACHE) and
+    # re-imports nothing. On a cluster, ship the package with
+    # ``spark-submit --py-files`` instead.
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    pp = os.environ.get("PYTHONPATH", "")
+    if repo_root not in pp.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            repo_root + (os.pathsep + pp if pp else "")
+        )
     if shuffle_partitions is None:
         shuffle_partitions = int(
             os.environ.get("PROPAGON_SHUFFLE_PARTITIONS", cpus)
@@ -47,6 +60,7 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("PROPAGON_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.executorEnv.PYTHONPATH", os.environ["PYTHONPATH"])
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

@@ -82,3 +82,21 @@ def load_model_jsonl(
 def save_model_parquet(scores: DataFrame, path: str) -> None:
     """Scale path: distributed Parquet write of (name, score)."""
     scores.select("name", "score").write.mode("overwrite").parquet(path)
+
+
+def save_scores_tsv(scores: DataFrame, path: str) -> None:
+    """The reference CLI's default stdout format: sorted ``id: score``
+    lines (``crates/propagon-cli/src/emit.rs:14-19``; ordering
+    ``traits.rs:63-67``)."""
+    from pyspark.sql import functions as F
+
+    rows = (
+        scores.select("name", "score")
+        .orderBy(F.desc("score"), F.asc("name"))
+        .collect()
+    )
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        for r in rows:
+            f.write(f"{r['name']}: {r['score']}\n")
+    os.replace(tmp, path)

@@ -23,16 +23,17 @@ def g(spark):
     gr.unpersist()
 
 
-def test_resume_equals_continuous(spark, g, tmp_path):
-    ck = str(tmp_path / "ck")
+@pytest.mark.parametrize("impl", ["csr", "join"])
+def test_resume_equals_continuous(spark, g, tmp_path, impl):
+    ck = str(tmp_path / impl)
     cont = scores_dict(
-        pagerank(g, sink="uniform", tol=1e-10, max_iterations=150).scores
+        pagerank(g, sink="uniform", tol=1e-10, max_iterations=150, impl=impl).scores
     )
 
     # interrupted run: stop after 6 iterations (checkpoint every 3)
     partial = pagerank(
         g, sink="uniform", tol=1e-30, max_iterations=6,
-        checkpoint_interval=3, checkpoint_dir=ck, run_id="r1",
+        checkpoint_interval=3, checkpoint_dir=ck, run_id="r1", impl=impl,
     )
     assert not partial.converged
     # resume from durable checkpoint and run to convergence
@@ -40,6 +41,7 @@ def test_resume_equals_continuous(spark, g, tmp_path):
     resumed = pagerank(
         g, sink="uniform", tol=1e-10, max_iterations=150,
         checkpoint_interval=3, checkpoint_dir=ck, run_id="r1", resume=True,
+        impl=impl,
     )
     assert resumed.converged
     res = scores_dict(resumed.scores)

@@ -25,9 +25,10 @@ def g4(spark):
     g.unpersist()
 
 
-def test_f1_one_iteration_sink_none(g4):
+@pytest.mark.parametrize("impl", ["csr", "join"])
+def test_f1_one_iteration_sink_none(g4, impl):
     # pagerank.rs:284-304
-    res = pagerank(g4, damping=0.85, iterations=1, sink="none")
+    res = pagerank(g4, damping=0.85, iterations=1, sink="none", impl=impl)
     s = scores_dict(res.scores)
     exp = {"1": 0.427083, "3": 0.214583, "2": 0.108333, "4": 0.0375}
     for k, v in exp.items():
@@ -35,10 +36,11 @@ def test_f1_one_iteration_sink_none(g4):
     assert res.iterations == 1
 
 
+@pytest.mark.parametrize("impl", ["csr", "join"])
 @pytest.mark.parametrize("sink", ["reverse", "all"])
-def test_f1_ten_iterations_reverse_and_all(g4, sink):
+def test_f1_ten_iterations_reverse_and_all(g4, sink, impl):
     # pagerank.rs:306-333 — same fixed point for both policies
-    res = pagerank(g4, damping=0.85, iterations=10, sink=sink)
+    res = pagerank(g4, damping=0.85, iterations=10, sink=sink, impl=impl)
     s = scores_dict(res.scores)
     exp = {"1": 0.39064, "3": 0.27099, "2": 0.190172, "4": 0.14818}
     for k, v in exp.items():
@@ -95,14 +97,15 @@ def test_f4_seed_weight_normalization(spark):
     g.unpersist()
 
 
-def test_f5_langville_meyer(spark):
+@pytest.mark.parametrize("impl", ["csr", "join"])
+def test_f5_langville_meyer(spark, impl):
     # test_reference_vectors.py:82-93 — 6-node, d=0.9, uniform sink
     edges = [
         ("1", "2"), ("1", "3"), ("3", "1"), ("3", "2"), ("3", "5"),
         ("4", "5"), ("4", "6"), ("5", "4"), ("5", "6"), ("6", "4"),
     ]
     g = Graph.from_edges(make_edges(spark, edges))
-    res = pagerank(g, damping=0.9, iterations=200, sink="uniform")
+    res = pagerank(g, damping=0.9, iterations=200, sink="uniform", impl=impl)
     s = scores_dict(res.scores)
     exp = {"1": 0.03721, "2": 0.05396, "3": 0.04151, "4": 0.3751,
            "5": 0.206, "6": 0.2862}
@@ -139,10 +142,14 @@ def test_convergence_metrics(g4):
 
 def test_salting_equivalence(g4):
     # hub salting must not change results: force every vertex to be a "hub"
-    base = scores_dict(pagerank(g4, iterations=10, sink="uniform").scores)
+    # salting lives in the join kernel only — force it on both runs
+    base = scores_dict(
+        pagerank(g4, iterations=10, sink="uniform", impl="join").scores
+    )
     salted = scores_dict(
         pagerank(
-            g4, iterations=10, sink="uniform", hub_threshold=1, hub_salts=4
+            g4, iterations=10, sink="uniform", hub_threshold=1, hub_salts=4,
+            impl="join",
         ).scores
     )
     for k in base:
