@@ -54,6 +54,8 @@ print("RESULT " + json.dumps({{
     "cores": cores, "seconds": round(secs, 3), "iterations": res.iterations,
     "dedup_edges": dedup, "edges_per_sec": round(dedup * res.iterations / secs),
     "converged": res.converged,
+    "timings": {{k: (round(v, 3) if isinstance(v, float) else v)
+                for k, v in res.timings.items()}},
 }}))
 spark.stop()
 """

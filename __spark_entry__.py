@@ -33,6 +33,14 @@ from propagon_spark.sources.tpch_graph import ORACLE_EDGES_CTE, ORDER_CAP  # noq
 DAMPING = 0.85
 PPR_DAMPING = 0.5
 PR_ITERS = 3
+HITS_ITERS = 2
+KATZ_ALPHA = 0.1
+KATZ_ITERS = 3
+LR_ITERS = 3
+RC_ITERS = 20
+RW_ITERS = 20
+RW_BIAS = 0.75
+HARMONIC_DEPTH = 4
 
 
 def _doc(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -209,6 +217,42 @@ def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_hits_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from propagon_spark.graph.hits import hits
+
+    g = _graph(spark, sf_dir, symmetric=False)
+    res = hits(g, iterations=HITS_ITERS, tolerance=0.0)
+    a = res.authorities.select("name", F.round("score", 9).alias("authority"))
+    h = res.hubs.select("name", F.round("score", 9).alias("hub"))
+    return a.join(h, "name")
+
+
+def q_katz_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from propagon_spark.graph.katz import katz
+
+    g = _graph(spark, sf_dir, symmetric=False)
+    out = katz(g, alpha=KATZ_ALPHA, iterations=KATZ_ITERS, tolerance=0.0)
+    return out.select("name", F.round("score", 9).alias("score"))
+
+
+def q_leader_rank_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from propagon_spark.graph.leader_rank import leader_rank
+
+    g = _graph(spark, sf_dir, symmetric=False)
+    out = leader_rank(g, iterations=LR_ITERS, tolerance=0.0)
+    return out.select("name", F.round("score", 9).alias("score"))
+
+
+def q_harmonic_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # exact depth-bounded harmonic (unit BFS, undirected) on the sparse
+    # min_weight>=2 subgraph — SQL twin is a depth-capped recursive CTE
+    from propagon_spark.graph.harmonic import harmonic
+
+    g = _graph(spark, sf_dir, symmetric=False, min_weight=2)
+    out = harmonic(g, "total", sample=None, max_depth=HARMONIC_DEPTH)
+    return out.select("name", F.round("score", 9).alias("score"))
+
+
 # ----- rows-only entries (no practical SQL twin; driver records a weaker
 # ----- check and the judge sees which)
 
@@ -232,6 +276,14 @@ def q_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from propagon_spark.functions.dedup import minhash_near_duplicates
 
     return minhash_near_duplicates(_doc(spark, sf_dir), threshold=0.5)
+
+
+def q_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # minhash pairs → connected-components clusters (RNG-hashed
+    # signatures ⇒ rows-only, like minhash_neardup)
+    from propagon_spark.functions.dedup import near_duplicate_clusters
+
+    return near_duplicate_clusters(_doc(spark, sf_dir), threshold=0.5)
 
 
 def q_birank(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -272,13 +324,19 @@ def q_harmonic_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_rank_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
     from propagon_spark.graph.rank_centrality import rank_centrality
 
-    return rank_centrality(_pairwise(spark, sf_dir), iterations=50)
+    out = rank_centrality(
+        _pairwise(spark, sf_dir), iterations=RC_ITERS, tolerance=0.0
+    )
+    return out.select("name", F.round("score", 9).alias("score"))
 
 
 def q_random_walker(spark: SparkSession, sf_dir: str) -> DataFrame:
     from propagon_spark.graph.random_walker import random_walker
 
-    return random_walker(_pairwise(spark, sf_dir), iterations=50)
+    out = random_walker(
+        _pairwise(spark, sf_dir), p=RW_BIAS, iterations=RW_ITERS, tolerance=0.0
+    )
+    return out.select("name", F.round("score", 9).alias("score"))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -299,14 +357,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_stats": q_text_stats,
         "lang_id": q_lang_id,
         "ann_cosine_topk": q_ann_cosine_topk,
+        "hits_k2": q_hits_k,
+        "katz_k3": q_katz_k,
+        "leader_rank_k3": q_leader_rank_k,
+        "harmonic_bfs_d4": q_harmonic_bfs,
+        "rank_centrality": q_rank_centrality,
+        "random_walker": q_random_walker,
         "pagerank_converged": q_pagerank_converged,
         "kcore_minw2": q_kcore,
         "minhash_neardup": q_minhash_neardup,
+        "neardup_clusters": q_neardup_clusters,
         "birank_supplier_part": q_birank,
         "bootstrap_degree_ci": q_bootstrap_degree,
         "harmonic_sampled": q_harmonic_sampled,
-        "rank_centrality": q_rank_centrality,
-        "random_walker": q_random_walker,
     }
 
 
@@ -344,6 +407,206 @@ def _pr_unrolled(damping: float, iters: int, seeded: bool) -> str:
     sql[-1] = sql[-1].rstrip(",")
     sql.append(f"SELECT id AS name, ROUND(rank, 9) AS score FROM r{iters}")
     return "\n".join(sql)
+
+
+def _hits_unrolled(iters: int) -> str:
+    """Unrolled HITS power steps (dedup'd directed edges; per-step L1
+    normalization of both vectors; refreshed authorities feed hubs —
+    mirrors ``hits.rs:111-181`` / propagon_spark/graph/hits.py)."""
+    sql = [
+        f"WITH {ORACLE_EDGES_CTE},",
+        "e AS (SELECT src, dst FROM pairs),",
+        "v AS (SELECT DISTINCT nm AS id FROM (SELECT src AS nm FROM e"
+        " UNION ALL SELECT dst FROM e) u),",
+        "n AS (SELECT CAST(count(*) AS DOUBLE) AS c FROM v),",
+        "s0 AS (SELECT id, 1.0/(SELECT c FROM n) AS a,"
+        " 1.0/(SELECT c FROM n) AS h FROM v),",
+    ]
+    for k in range(1, iters + 1):
+        sql += [
+            f"ar{k} AS MATERIALIZED (SELECT e.dst AS id, sum(s.h) AS ar FROM e"
+            f" JOIN s{k-1} s ON e.src = s.id GROUP BY 1),",
+            f"a{k} AS MATERIALIZED (SELECT v.id, coalesce(ar{k}.ar, 0.0)"
+            f"/(SELECT sum(ar) FROM ar{k}) AS a"
+            f" FROM v LEFT JOIN ar{k} ON v.id = ar{k}.id),",
+            f"hr{k} AS MATERIALIZED (SELECT e.src AS id, sum(x.a) AS hr FROM e"
+            f" JOIN a{k} x ON e.dst = x.id GROUP BY 1),",
+            f"s{k} AS MATERIALIZED (SELECT v.id, a{k}.a, coalesce(hr{k}.hr, 0.0)"
+            f"/(SELECT sum(hr) FROM hr{k}) AS h"
+            f" FROM v JOIN a{k} ON v.id = a{k}.id"
+            f" LEFT JOIN hr{k} ON v.id = hr{k}.id),",
+        ]
+    sql[-1] = sql[-1].rstrip(",")
+    sql.append(
+        f"SELECT id AS name, ROUND(a, 9) AS authority, ROUND(h, 9) AS hub"
+        f" FROM s{iters}"
+    )
+    return "\n".join(sql)
+
+
+def _katz_unrolled(alpha: float, iters: int) -> str:
+    """Unrolled Katz steps ``x ← 1 + α·Aᵀx`` (weighted, no dedup;
+    ``katz.rs:58-112`` / propagon_spark/graph/katz.py)."""
+    sql = [
+        f"WITH {ORACLE_EDGES_CTE},",
+        "v AS (SELECT DISTINCT nm AS id FROM (SELECT src AS nm FROM pairs"
+        " UNION ALL SELECT dst FROM pairs) u),",
+        "x0 AS (SELECT id, 1.0 AS x FROM v),",
+    ]
+    for k in range(1, iters + 1):
+        sql.append(
+            f"x{k} AS MATERIALIZED (SELECT v.id, 1.0 + {alpha}*coalesce(g.m, 0.0) AS x"
+            f" FROM v LEFT JOIN (SELECT p.dst AS id, sum(p.weight * x.x) AS m"
+            f" FROM pairs p JOIN x{k-1} x ON p.src = x.id GROUP BY 1) g"
+            f" ON v.id = g.id),"
+        )
+    sql[-1] = sql[-1].rstrip(",")
+    sql.append(f"SELECT id AS name, ROUND(x - 1.0, 9) AS score FROM x{iters}")
+    return "\n".join(sql)
+
+
+def _leader_rank_unrolled(iters: int) -> str:
+    """Unrolled LeaderRank walk on the ground-node-augmented graph
+    (``leader_rank.rs:67-138`` / propagon_spark/graph/leader_rank.py):
+    uniform random walk over dedup'd edges + bidirectional ground links,
+    then the ground's mass folded back evenly."""
+    sql = [
+        f"WITH {ORACLE_EDGES_CTE},",
+        "e0 AS (SELECT src, dst FROM pairs),",
+        "v AS (SELECT DISTINCT nm AS id FROM (SELECT src AS nm FROM e0"
+        " UNION ALL SELECT dst FROM e0) u),",
+        "n AS (SELECT CAST(count(*) AS DOUBLE) AS c FROM v),",
+        "e AS (SELECT src, dst FROM e0"
+        " UNION ALL SELECT id, '__ground__' FROM v"
+        " UNION ALL SELECT '__ground__', id FROM v),",
+        "deg AS (SELECT src AS id, CAST(count(*) AS DOUBLE) AS outdeg"
+        " FROM e GROUP BY 1),",
+        "av AS (SELECT id FROM v UNION ALL SELECT '__ground__'),",
+        "p0 AS (SELECT id, 1.0/((SELECT c FROM n) + 1.0) AS pi FROM av),",
+    ]
+    for k in range(1, iters + 1):
+        sql.append(
+            f"p{k} AS MATERIALIZED (SELECT av.id, coalesce(g.m, 0.0) AS pi FROM av"
+            f" LEFT JOIN (SELECT e.dst AS id, sum(p.pi / d.outdeg) AS m"
+            f" FROM e JOIN p{k-1} p ON e.src = p.id"
+            f" JOIN deg d ON e.src = d.id GROUP BY 1) g ON av.id = g.id),"
+        )
+    sql[-1] = sql[-1].rstrip(",")
+    sql.append(
+        f"SELECT p.id AS name, ROUND(p.pi +"
+        f" (SELECT pi FROM p{iters} WHERE id = '__ground__')"
+        f"/(SELECT c FROM n), 9) AS score"
+        f" FROM p{iters} p WHERE p.id <> '__ground__'"
+    )
+    return "\n".join(sql)
+
+
+#: pairwise (winner, loser, weight=1) derivation shared by the tally /
+#: rank-centrality / random-walker oracles (matches ``_pairwise``)
+_PAIRWISE_CTE = """li2 AS (SELECT l_orderkey AS grp, l_linenumber AS ln,
+    concat('t:', lpad(CAST(l_partkey AS VARCHAR), 8, '0')) AS item,
+    l_extendedprice AS p FROM lineitem),
+pw AS (SELECT a.item AS winner, b.item AS loser, 1.0 AS x
+       FROM li2 a JOIN li2 b
+       ON a.grp = b.grp AND a.ln <> b.ln AND a.p > b.p)"""
+
+#: unordered-pair win totals shared by rank-centrality / random-walker
+#: (names are zero-padded so least/greatest on names == on dense ids)
+_UPAIR_CTE = """wins AS (SELECT winner AS a, loser AS b, sum(x) AS wab
+        FROM pw GROUP BY 1, 2),
+upt AS (SELECT least(a, b) AS lo, greatest(a, b) AS hi,
+            sum(CASE WHEN a < b THEN wab ELSE 0.0 END) AS wlh,
+            sum(CASE WHEN a > b THEN wab ELSE 0.0 END) AS whl,
+            sum(wab) AS t
+        FROM wins GROUP BY 1, 2),
+v AS (SELECT DISTINCT nm AS id FROM (SELECT winner AS nm FROM pw
+      UNION ALL SELECT loser FROM pw) u),
+n AS (SELECT CAST(count(*) AS DOUBLE) AS c FROM v)"""
+
+
+def _walk_steps(iters: int) -> str:
+    """Shared unrolled power-iteration tail: p_{k} from trans/stay/p_{k-1}.
+
+    Each step references the previous one twice (self-loop term + gather),
+    so the step CTEs are MATERIALIZED — DuckDB would otherwise inline
+    them, expanding the plan 2^iters-fold.
+    """
+    sql = []
+    for k in range(1, iters + 1):
+        sql.append(
+            f"p{k} AS MATERIALIZED (SELECT st.id, pp.pi*st.stay + coalesce(g.m, 0.0) AS pi"
+            f" FROM stay st JOIN p{k-1} pp ON st.id = pp.id"
+            f" LEFT JOIN (SELECT t.dst AS id, sum(t.p * pp.pi) AS m"
+            f" FROM trans t JOIN p{k-1} pp ON t.src = pp.id GROUP BY 1) g"
+            f" ON st.id = g.id),"
+        )
+    sql[-1] = sql[-1].rstrip(",")
+    sql.append(f"SELECT id AS name, ROUND(pi, 9) AS score FROM p{iters}")
+    return "\n".join(sql)
+
+
+def _rank_centrality_unrolled(iters: int) -> str:
+    """Unrolled Negahban-Oh-Shah walk (``rank_centrality.rs:52-140`` /
+    propagon_spark/graph/rank_centrality.py)."""
+    return f"""WITH {_PAIRWISE_CTE},
+{_UPAIR_CTE},
+deg AS (SELECT id, CAST(count(*) AS DOUBLE) AS deg FROM
+        (SELECT lo AS id FROM upt UNION ALL SELECT hi FROM upt) d GROUP BY 1),
+dmax AS (SELECT max(deg) AS m FROM deg),
+trans AS MATERIALIZED (
+          SELECT lo AS src, hi AS dst, whl/(t*(SELECT m FROM dmax)) AS p
+          FROM upt WHERE t > 0
+          UNION ALL
+          SELECT hi, lo, wlh/(t*(SELECT m FROM dmax)) FROM upt WHERE t > 0),
+stay AS MATERIALIZED (
+         SELECT v.id, 1.0 - coalesce(lv.s, 0.0) AS stay FROM v LEFT JOIN
+         (SELECT src AS id, sum(p) AS s FROM trans GROUP BY 1) lv
+         ON v.id = lv.id),
+p0 AS (SELECT id, 1.0/(SELECT c FROM n) AS pi FROM v),
+{_walk_steps(iters)}"""
+
+
+def _random_walker_unrolled(p: float, iters: int) -> str:
+    """Unrolled biased-walker chain (``random_walker.rs:34-140`` /
+    propagon_spark/graph/random_walker.py)."""
+    return f"""WITH {_PAIRWISE_CTE},
+{_UPAIR_CTE},
+games AS (SELECT id, sum(x) AS g FROM (SELECT winner AS id, x FROM pw
+          UNION ALL SELECT loser, x FROM pw) u GROUP BY 1),
+upg AS (SELECT upt.lo, upt.hi, upt.wlh, upt.whl, gl.g AS glo, gh.g AS ghi
+        FROM upt JOIN games gl ON upt.lo = gl.id
+        JOIN games gh ON upt.hi = gh.id),
+trans AS MATERIALIZED (
+          SELECT lo AS src, hi AS dst, ({p}*whl + {1.0 - p}*wlh)/glo AS p
+          FROM upg
+          UNION ALL
+          SELECT hi, lo, ({p}*wlh + {1.0 - p}*whl)/ghi FROM upg),
+stay AS MATERIALIZED (
+         SELECT v.id, 1.0 - coalesce(lv.s, 0.0) AS stay FROM v LEFT JOIN
+         (SELECT src AS id, sum(p) AS s FROM trans GROUP BY 1) lv
+         ON v.id = lv.id),
+p0 AS (SELECT id, 1.0/(SELECT c FROM n) AS pi FROM v),
+{_walk_steps(iters)}"""
+
+
+def _harmonic_bfs_sql(depth: int) -> str:
+    """Depth-capped exact harmonic over the undirected min-weight>=2
+    subgraph: recursive BFS closure, min distance per (source, node),
+    score[i] = Σ 1/d over reachers (propagon_spark/graph/harmonic.py)."""
+    return f"""WITH RECURSIVE {ORACLE_EDGES_CTE},
+ce AS (SELECT src, dst FROM pairs WHERE weight >= 2),
+se AS (SELECT src, dst FROM ce UNION SELECT dst, src FROM ce),
+v AS (SELECT DISTINCT src AS id FROM se),
+walk(s, nd, d) AS (
+    SELECT id, id, 0 FROM v
+    UNION
+    SELECT w.s, se.dst, w.d + 1 FROM walk w JOIN se ON se.src = w.nd
+    WHERE w.d < {depth}
+),
+mind AS (SELECT s, nd, min(d) AS d FROM walk GROUP BY 1, 2),
+sc AS (SELECT nd AS id, sum(1.0/d) AS h FROM mind WHERE d > 0 GROUP BY 1)
+SELECT v.id AS name, ROUND(coalesce(sc.h, 0.0), 9) AS score
+FROM v LEFT JOIN sc USING (id)"""
 
 
 _DEGREE_ORACLE = {
@@ -405,6 +668,12 @@ def oracle_sql() -> dict[str, str]:
         "degree_total": _degree_sql("total"),
         "pagerank_k3": _pr_unrolled(DAMPING, PR_ITERS, seeded=False),
         "ppr_seeded_k3": _pr_unrolled(PPR_DAMPING, PR_ITERS, seeded=True),
+        "hits_k2": _hits_unrolled(HITS_ITERS),
+        "katz_k3": _katz_unrolled(KATZ_ALPHA, KATZ_ITERS),
+        "leader_rank_k3": _leader_rank_unrolled(LR_ITERS),
+        "harmonic_bfs_d4": _harmonic_bfs_sql(HARMONIC_DEPTH),
+        "rank_centrality": _rank_centrality_unrolled(RC_ITERS),
+        "random_walker": _random_walker_unrolled(RW_BIAS, RW_ITERS),
         "components_minw2": f"""WITH RECURSIVE {ORACLE_EDGES_CTE},
 se AS (SELECT src, dst FROM pairs WHERE weight >= 2
        UNION SELECT dst, src FROM pairs WHERE weight >= 2),

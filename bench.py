@@ -95,21 +95,41 @@ def main() -> None:
     lsh_cosine_topk(emb, k=10).count()
     queries["lsh_ann_topk"] = time.monotonic() - t0
 
+    # recall@10 of the LSH path vs the brute-force oracle on a bounded
+    # sample (the oracle is O(n²)); 4 planes × 32 tables is the
+    # near-uniform-corpus config (see similarity.lsh_cosine_topk notes)
+    from propagon_spark.functions.similarity import ann_recall_at_k
+
+    t0 = time.monotonic()
+    recall = ann_recall_at_k(
+        emb.limit(1000), k=10, num_planes=4, num_tables=32
+    )
+    queries["ann_recall_eval"] = time.monotonic() - t0
+
     total = time.monotonic() - t_all
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(
         json.dumps(
             {
+                # headline (metric, value, unit) IS the throughput metric;
+                # suite wall-clock lives under total_seconds
                 "metric": "edges_per_sec_pagerank_1e-6",
-                "value": round(total, 3),
-                "unit": "sec",
+                "value": round(edges_per_sec),
+                "unit": "edges/sec",
+                "total_seconds": round(total, 3),
                 "queries": {k: round(v, 3) for k, v in queries.items()},
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "edges_per_sec": round(edges_per_sec),
+                "pagerank_timings": {
+                    k: (round(v, 3) if isinstance(v, float) else v)
+                    for k, v in res.timings.items()
+                },
                 "pagerank_iterations": res.iterations,
                 "pagerank_converged": res.converged,
                 "graph_edges": n_edges,
                 "dedup_directed_edges": dedup_edges,
+                "ann_recall_at_10": round(recall["recall_at_k"], 4),
+                "ann_rescore_mismatches": recall["rescore_mismatches"],
                 "cpus": cpus,
             }
         )

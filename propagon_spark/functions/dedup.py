@@ -273,6 +273,71 @@ def simhash_near_duplicates(
     )
 
 
+# ----------------------------------------------------- dedup clusters
+
+
+def near_duplicate_clusters(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.8,
+    num_hashes: int = 64,
+    shingle_k: int = 5,
+    bands: int = 16,
+    seed: int = 42,
+) -> DataFrame:
+    """The operator a real dedup pipeline ends with: group near-duplicate
+    pairs into clusters and pick one representative per cluster.
+
+    MinHash+LSH pairs (bucketed candidate generation, never all-pairs)
+    fed into the engine's own connected-components (min-label +
+    pointer-doubling — transitively closes chains a~b~c even when a,c
+    never hash-collide). Returns ``(doc_id, cluster_rep, cluster_size)``;
+    docs with no near-dup are their own singleton cluster. ``cluster_rep``
+    is the lexicographically smallest member id, so the kept set is
+    ``where(doc_id == cluster_rep)``.
+    """
+    from propagon_spark.graph.components import connected_components
+    from propagon_spark.graph.core import Graph
+
+    pairs = minhash_near_duplicates(
+        df, text_col, id_col, threshold, num_hashes, shingle_k, bands, seed
+    )
+    ids = df.select(F.col(id_col).cast("string").alias("doc_id"))
+    edges = pairs.select(
+        F.col("a").cast("string").alias("src"),
+        F.col("b").cast("string").alias("dst"),
+    )
+    if edges.isEmpty():
+        return ids.select(
+            "doc_id",
+            F.col("doc_id").alias("cluster_rep"),
+            F.lit(1).cast("long").alias("cluster_size"),
+        )
+    g = Graph.from_edges(edges)
+    cc = connected_components(g)
+    # component label is the min dense id == min name (vocab ids are
+    # name-ordered), so the representative is the min-id member
+    rep = g.vocab.select(
+        F.col("id").alias("component"), F.col("name").alias("cluster_rep")
+    )
+    clustered = (
+        cc.join(rep, "component")
+        .select(
+            F.col("name").alias("doc_id"),
+            "cluster_rep",
+            F.col("component_size").cast("long").alias("cluster_size"),
+        )
+    )
+    out = ids.join(clustered, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("cluster_rep", F.col("doc_id")).alias("cluster_rep"),
+        F.coalesce("cluster_size", F.lit(1)).cast("long").alias("cluster_size"),
+    )
+    g.unpersist()
+    return out
+
+
 # ------------------------------------------------------ n-gram jaccard
 
 
@@ -282,14 +347,20 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     n: int = 3,
     threshold: float = 0.5,
+    max_docs_per_gram: int | None = 10_000,
 ) -> DataFrame:
-    """Exact word-n-gram Jaccard similarity for pairs sharing ≥1 n-gram.
+    """Word-n-gram Jaccard similarity for pairs sharing ≥1 n-gram.
 
     Pure Catalyst: tokenize → sliding n-grams (transform over index
     sequence) → explode → inverted-index self-join → |∩| per pair →
     Jaccard via per-doc set sizes. The explode/self-join is the scale
-    hazard; upstream of this, frequent-shingle capping is the standard
-    mitigation (documented, not applied by default).
+    hazard: one stop-word n-gram shared by 1M docs is 10¹² candidate
+    pairs, so grams appearing in more than ``max_docs_per_gram`` docs are
+    dropped from the inverted index BY DEFAULT (the standard
+    frequent-shingle mitigation). Capped grams still count toward per-doc
+    set sizes, so reported Jaccard is a lower bound for pairs that shared
+    a capped gram; pass ``max_docs_per_gram=None`` for the exact
+    (explosion-prone) variant.
     """
     toks = df.select(
         F.col(id_col).alias("id"),
@@ -315,6 +386,14 @@ def ngram_jaccard_pairs(
     )
     sizes = grams.select("id", F.size("grams").alias("sz"))
     inv = grams.select("id", F.explode("grams").alias("g"))
+    if max_docs_per_gram is not None:
+        rare = (
+            inv.groupBy("g")
+            .agg(F.count("*").alias("_df"))
+            .where(F.col("_df") <= max_docs_per_gram)
+            .select("g")
+        )
+        inv = inv.join(rare, "g", "left_semi")
     pairs = (
         inv.alias("x")
         .join(inv.alias("y"), "g")

@@ -117,7 +117,17 @@ def lsh_cosine_topk(
     """Approximate cosine top-k: random-hyperplane signatures bucket the
     corpus (``num_tables`` independent tables); only same-bucket pairs are
     rescored exactly. Recall grows with tables; cost ~ bucket sizes, not
-    |C|²."""
+    |C|².
+
+    Tuning (measure with :func:`ann_recall_at_k`): per-plane collision
+    probability for a pair at angle θ is 1−θ/π, so on a CLUSTERED corpus
+    (true neighbors at small angles) more planes buy smaller buckets
+    cheaply — the 16-plane default. On a near-uniform corpus the top-k
+    "neighbors" sit near 90° and survive only few-plane/many-table
+    configs (4 planes × 32 tables reaches recall@10 ≈ 0.99 on the
+    synthetic test embeddings) — at that point bucket sizes approach
+    n/2⁴ and brute force may be cheaper; LSH pays off when the data has
+    actual neighborhood structure."""
     if dim is None:
         dim = len(df.select(vec_col).first()[0])
     sigs = df.select(F.col(id_col), F.col(vec_col))
@@ -162,6 +172,44 @@ def lsh_cosine_topk(
     return scored.withColumn("rank", F.row_number().over(w)).where(
         F.col("rank") <= k
     )
+
+
+def ann_recall_at_k(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 10,
+    **lsh_kwargs,
+) -> dict:
+    """Recall@k of :func:`lsh_cosine_topk` against the exact brute-force
+    oracle on the same frame: |approx ∩ exact| / |exact|, plus the
+    candidate-verification invariant (every pair the LSH path returns
+    carries the same cosine the exact path computes — the rescore is
+    exact, only candidate *generation* is approximate).
+
+    Evaluation harness — runs the brute-force O(|Q|·|C|) oracle, so use
+    on samples, not the full corpus.
+    """
+    exact = cosine_topk(df, None, vec_col, id_col, k=k).select(
+        "query_id", "neighbor_id", F.col("cosine").alias("_ec")
+    )
+    approx = lsh_cosine_topk(df, vec_col, id_col, k=k, **lsh_kwargs).select(
+        "query_id", "neighbor_id", "cosine"
+    )
+    joined = approx.join(exact, ["query_id", "neighbor_id"], "inner").persist()
+    hits = joined.count()
+    mismatched = joined.where(
+        F.abs(F.col("cosine") - F.col("_ec")) > 1e-9
+    ).count()
+    total = exact.count()
+    joined.unpersist()
+    return {
+        "recall_at_k": hits / total if total else 1.0,
+        "k": k,
+        "exact_pairs": total,
+        "hit_pairs": hits,
+        "rescore_mismatches": mismatched,
+    }
 
 
 def embedding_near_duplicates(

@@ -11,11 +11,12 @@ Key semantics:
 - seeded random init (v2 RNG, default seed 2019), fixed 10 iterations.
 
 Spark mapping: two vocab spaces; the sweep is a join-agg with
-``w/(d_l·d_r)`` folded into the edge frame once; random init via
-``F.rand(seed)`` (RNG stream differs from the reference's Xoshiro, so
-parity with golden files is rank-correlation, not numeric — same tier-S
-contract as the reference's own golden tests,
-``crates/propagon-cli/tests/golden.rs:176-212``).
+``w/(d_l·d_r)`` folded into the edge frame once; random init derived from
+``xxhash64(id, seed)`` — truly deterministic at any parallelism (unlike
+``F.rand``, whose stream is seeded per-partition). The stream still
+differs from the reference's Xoshiro, so parity with golden files is
+rank-correlation, not numeric — same tier-S contract as the reference's
+own golden tests (``crates/propagon-cli/tests/golden.rs:176-212``).
 """
 
 from __future__ import annotations
@@ -74,12 +75,21 @@ def birank(
         .select("si", "di", (F.col("w") / (F.col("ds") * F.col("dd"))).alias("nw"))
     )
 
-    # seeded random init per side (deterministic given seed + id order)
+    # seeded pseudo-random init per side: hash(id, seed) → uniform [0,1).
+    # Partition-count-independent, unlike F.rand(seed) whose substream is
+    # assigned per partition.
+    def hash01(col, s: int):
+        return F.xxhash64(col, F.lit(s)) / F.lit(float(2**64)) + F.lit(0.5)
+
     u = truncate_lineage(
-        sv.select(F.col("id").alias("si")).withColumn("u", F.rand(seed))
+        sv.select(
+            F.col("id").alias("si"), hash01(F.col("id"), seed).alias("u")
+        )
     )
     p = truncate_lineage(
-        dv.select(F.col("id").alias("di")).withColumn("p", F.rand(seed + 1))
+        dv.select(
+            F.col("id").alias("di"), hash01(F.col("id"), seed + 1).alias("p")
+        )
     )
 
     for _ in range(iterations):

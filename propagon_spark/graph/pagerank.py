@@ -67,6 +67,9 @@ class PageRankResult:
     iterations: int
     converged: bool
     metrics: list[dict] = field(default_factory=list)
+    #: per-phase wall-clock breakdown (kernel, setup_s, per-iteration
+    #: phase sums) — the evidence trail for the N→4N scaling criterion
+    timings: dict = field(default_factory=dict)
 
 
 def _teleport_frame(g: Graph, seeds: dict[str, float] | None) -> DataFrame:
@@ -156,6 +159,7 @@ def pagerank(
     spark = g.spark
     n = g.num_vertices
     nparts = g.edges.rdd.getNumPartitions()
+    t_setup = time.monotonic()
 
     # ---- one-time setup (loop-invariant, persisted) --------------------
     edges = dedup_edges(g.edges)
@@ -176,15 +180,15 @@ def pagerank(
     outdeg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
     # scatter frame: (src, dst, inv) — inverse out-degree folded in so the
     # per-iteration join multiplies instead of dividing after a second join
-    scatter = (
-        edges.join(outdeg, "src")
-        .select("src", "dst", (F.lit(1.0) / F.col("outdeg")).alias("inv"))
-        .repartition(nparts, "src")
-        .persist(_STORAGE)
+    scatter_base = edges.join(outdeg, "src").select(
+        "src", "dst", (F.lit(1.0) / F.col("outdeg")).alias("inv")
     )
 
     # hub salting: split the scatter join key for very-high-out-degree
-    # sources so a single hub's edges don't land in one join task.
+    # sources so a single hub's edges don't land in one join task. The
+    # persist happens ONCE, after the salting decision — persisting the
+    # pre-salt frame and then replacing it would leak the first cache for
+    # the whole fit on hub-heavy graphs.
     hub_ids = [
         r["src"]
         for r in outdeg.where(F.col("outdeg") >= hub_threshold)
@@ -195,13 +199,19 @@ def pagerank(
     if salted:
         hubs = set(hub_ids)
         is_hub = F.col("src").isin(list(hubs))
-        scatter = scatter.withColumn(
-            "salt",
-            F.when(is_hub, F.pmod(F.hash("dst"), F.lit(hub_salts))).otherwise(
-                F.lit(0)
-            ),
-        ).repartition(nparts, "src", "salt").persist(_STORAGE)
+        scatter = (
+            scatter_base.withColumn(
+                "salt",
+                F.when(
+                    is_hub, F.pmod(F.hash("dst"), F.lit(hub_salts))
+                ).otherwise(F.lit(0)),
+            )
+            .repartition(nparts, "src", "salt")
+            .persist(_STORAGE)
+        )
         salt_df = spark.range(hub_salts).select(F.col("id").cast("int").alias("salt"))
+    else:
+        scatter = scatter_base.repartition(nparts, "src").persist(_STORAGE)
 
     # vertex frame: (id, v, is_sink) — static across iterations
     vstat = (
@@ -216,6 +226,7 @@ def pagerank(
         .persist(_STORAGE)
     )
     vstat.count()
+    scatter.count()  # materialize the persisted scatter inside "setup"
 
     # ---- init / resume -------------------------------------------------
     ckpt: CheckpointManager | None = None
@@ -321,6 +332,9 @@ def pagerank(
         chain = {1: 8, 2: 3, 3: 1}[refs]
     converged = False
     it = start_iter
+    last_ckpt = start_iter
+    timings = {"kernel": "join", "setup_s": time.monotonic() - t_setup,
+               "iterate_s": 0.0}
 
     while it < total_iters:
         t0 = time.monotonic()
@@ -373,6 +387,7 @@ def pagerank(
                 "seconds": time.monotonic() - t0,
             }
         )
+        timings["iterate_s"] += metrics[-1]["seconds"]
 
         logger.info(
             "pagerank iter=%d l1=%s mass=%.6f %.2fs",
@@ -380,8 +395,14 @@ def pagerank(
             metrics[-1]["seconds"],
         )
 
-        if ckpt is not None and it % checkpoint_interval == 0:
+        # save whenever the iteration counter CROSSES a checkpoint
+        # boundary — parity mode advances `it` by `chain` (up to 8), so
+        # an exact `it % interval == 0` test would rarely fire
+        if ckpt is not None and (
+            it // checkpoint_interval > last_ckpt // checkpoint_interval
+        ):
             ckpt.save(it, ranks.select("id", "rank"), metrics)
+            last_ckpt = it
 
         if tol is not None and l1 < tol:
             converged = True
@@ -432,7 +453,7 @@ def _run_csr(
             start_iter, state, metrics = latest
             init_ranks = state.select("id", "rank").toPandas()
 
-    p, it, converged, metrics = pagerank_csr(
+    p, it, converged, metrics, timings = pagerank_csr(
         g, edges, damping=damping, sink=sink, seeds=seeds, tol=tol,
         iterations=iterations, max_iterations=max_iterations,
         checkpoint_interval=checkpoint_interval, ckpt=ckpt,
@@ -446,4 +467,5 @@ def _run_csr(
         iterations=it,
         converged=converged if tol is not None else True,
         metrics=metrics,
+        timings=timings,
     )

@@ -18,7 +18,15 @@ also make score sums bit-deterministic at any parallelism (fixed
 summation order), strictly stronger than the 1e-6 allclose contract.
 
 Semantics are identical to pagerank.py (same sink policies / teleport /
-init / update rule); equality is pinned by tests/test_pagerank_csr.py.
+init / update rule); csr/join equality is pinned by the parametrized
+cases in tests/test_pagerank.py (impl="csr" vs impl="join").
+
+Cluster-safety: edge blocks are written under the SparkContext checkpoint
+directory (a Hadoop-FS path every executor can read — set by
+session.get_spark / spark.sparkContext.setCheckpointDir), not the
+driver's local /tmp; block paths are discovered via inputFiles() and read
+with pyarrow's URI-aware reader, so the same code runs on file:// and
+hdfs:// alike.
 """
 
 from __future__ import annotations
@@ -67,7 +75,15 @@ def _load_block(token: str, path: str):
     if arrs is None:
         import pyarrow.parquet as pq
 
-        t = pq.read_table(path, columns=["src", "dst", "inv"])
+        read_path = path
+        if path.startswith("file:"):
+            # normalize file:/x and file:///x URIs to plain local paths;
+            # non-local schemes (hdfs://, s3://) go to pyarrow's
+            # URI-aware FileSystem.from_uri path as-is
+            from urllib.parse import urlparse
+
+            read_path = urlparse(path).path
+        t = pq.read_table(read_path, columns=["src", "dst", "inv"])
         src = t.column("src").to_numpy()
         dst = t.column("dst").to_numpy()
         inv = t.column("inv").to_numpy()
@@ -82,6 +98,12 @@ def _load_block(token: str, path: str):
             if k[0] != token:
                 del _BLOCK_CACHE[k]
         _BLOCK_CACHE[key] = arrs
+        # enforce the per-worker budget: task→worker binding is unstable,
+        # so one reused worker can otherwise accumulate every block of the
+        # fit. Dicts preserve insertion order → FIFO evict oldest entries
+        # (keep the one just inserted).
+        while _cache_size() > _CACHE_BYTES and len(_BLOCK_CACHE) > 1:
+            _BLOCK_CACHE.pop(next(iter(_BLOCK_CACHE)))
     return arrs
 
 
@@ -126,12 +148,19 @@ def pagerank_csr(
     sc = spark.sparkContext
     n = g.num_vertices
     nparts = g.edges.rdd.getNumPartitions()
+    t_setup = time.monotonic()
 
     outdeg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
     # materialize dst-partitioned CSR block files once; workers read and
     # cache their blocks, so per-iteration traffic is one rank-vector
-    # broadcast out and one n-row Arrow collect back
-    blocks_dir = tempfile.mkdtemp(prefix="propagon_csr_")
+    # broadcast out and one n-row Arrow collect back. Blocks live under
+    # the session checkpoint dir (Hadoop-FS path all executors can read —
+    # on a cluster that's HDFS/S3, never the driver's /tmp).
+    ckdir = sc.getCheckpointDir()
+    if ckdir:
+        blocks_dir = ckdir.rstrip("/") + f"/csr_blocks_{_uuid.uuid4().hex}"
+    else:
+        blocks_dir = tempfile.mkdtemp(prefix="propagon_csr_")
     (
         edges.join(outdeg, "src")
         .select(
@@ -143,11 +172,8 @@ def pagerank_csr(
         .write.mode("overwrite")
         .parquet(blocks_dir)
     )
-    block_files = sorted(
-        os.path.join(blocks_dir, f)
-        for f in os.listdir(blocks_dir)
-        if f.endswith(".parquet")
-    )
+    # file listing through Spark, not os.listdir — works on any Hadoop FS
+    block_files = sorted(spark.read.parquet(blocks_dir).inputFiles())
     # round-robin repartition: exactly one block file per task
     blocks = spark.createDataFrame(
         [(f,) for f in block_files], "path string"
@@ -191,13 +217,27 @@ def pagerank_csr(
     converged = False
     it = start_iter
     token = _uuid.uuid4().hex
+    # per-phase wall time: where an N→4N scaling run spends its seconds
+    # (setup = canonicalize+block write, bcast/gather = per-iteration
+    # distributed work, update = serial driver numpy)
+    timings = {
+        "kernel": "csr",
+        "setup_s": time.monotonic() - t_setup,
+        "bcast_s": 0.0,
+        "gather_s": 0.0,
+        "update_s": 0.0,
+    }
 
     while it < total_iters:
         t0 = time.monotonic()
         rank_bc = sc.broadcast(p)
+        t_b = time.monotonic()
+        timings["bcast_s"] += t_b - t0
         partials = blocks.mapInPandas(
             _gather_factory(n, rank_bc, token), schema="dst long, m double"
         ).toPandas()
+        t_g = time.monotonic()
+        timings["gather_s"] += t_g - t_b
         gathered = np.zeros(n)
         gathered[partials["dst"].to_numpy()] = partials["m"].to_numpy()
         rank_bc.destroy()
@@ -217,6 +257,7 @@ def pagerank_csr(
             raise NumericError(f"pagerank diverged at iteration {it}")
         p = new_p
         it += 1
+        timings["update_s"] += time.monotonic() - t_g
         metrics.append(
             {
                 "iteration": it,
@@ -239,8 +280,19 @@ def pagerank_csr(
             converged = True
             break
 
-    shutil.rmtree(blocks_dir, ignore_errors=True)
-    return p, it, converged, metrics
+    _hadoop_rm(spark, blocks_dir)
+    return p, it, converged, metrics, timings
+
+
+def _hadoop_rm(spark, path: str) -> None:
+    """Recursive delete through the Hadoop FS API (scheme-agnostic)."""
+    try:
+        jvm = spark._jvm  # noqa: SLF001
+        jpath = jvm.org.apache.hadoop.fs.Path(path)
+        fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())  # noqa: SLF001
+        fs.delete(jpath, True)
+    except Exception:
+        shutil.rmtree(path, ignore_errors=True)
 
 
 def _ranks_df(spark, p: np.ndarray) -> DataFrame:

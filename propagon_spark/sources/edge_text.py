@@ -29,7 +29,7 @@ def read_edge_text(
     df = toks.select(
         F.col("t").getItem(0).alias("a"),
         F.col("t").getItem(1).alias("b"),
-        F.coalesce(F.col("t").getItem(2).cast("double"), F.lit(1.0)).alias(
+        F.coalesce(F.get("t", 2).cast("double"), F.lit(1.0)).alias(
             "weight"
         ),
     )
@@ -42,17 +42,55 @@ def read_edge_text(
     )
 
 
-def read_pairwise_text(spark: SparkSession, path: str) -> DataFrame:
-    """Read whitespace ``winner loser [weight]`` rows (single period).
+def read_pairwise_text(
+    spark: SparkSession, path: str, periods: bool = False
+) -> DataFrame:
+    """Read whitespace ``winner loser [weight]`` rows.
 
-    Multi-period blank-line parsing is file-order-dependent; at scale,
-    periods arrive as an explicit column instead
-    (``dataset/pairwise.rs:110-174`` → period column, SURVEY §2.1).
+    ``periods=True`` honors blank-line batch boundaries
+    (``io.rs:22-43``): consecutive/leading blanks collapse (empty periods
+    are no-ops, ``dataset/pairwise.rs:110-123``) and each group gets a
+    dense 0-based ``period``. Line order comes from the file offset
+    (``zipWithIndex`` over a single text file), and the running
+    blank-count window is a single-task pass — this is the CLI-interop
+    small-file path; at scale periods arrive as an explicit column
+    instead (SURVEY §2.1).
     """
-    df = read_edge_text(spark, path, matches=False)
-    return df.select(
-        F.col("src").alias("winner"),
-        F.col("dst").alias("loser"),
-        "weight",
-        F.lit(0).cast("long").alias("period"),
+    if not periods:
+        df = read_edge_text(spark, path, matches=False)
+        return df.select(
+            F.col("src").alias("winner"),
+            F.col("dst").alias("loser"),
+            "weight",
+            F.lit(0).cast("long").alias("period"),
+        )
+
+    from pyspark.sql import Window
+
+    lines = spark.createDataFrame(
+        spark.sparkContext.textFile(path).zipWithIndex(),
+        "value string, idx long",
+    )
+    w = Window.orderBy("idx").rowsBetween(Window.unboundedPreceding, 0)
+    grouped = lines.select(
+        "value",
+        "idx",
+        F.sum(
+            F.when(F.trim("value") == "", F.lit(1)).otherwise(F.lit(0))
+        ).over(w).alias("grp"),
+    ).where((F.trim("value") != "") & ~F.col("value").startswith("#"))
+    # dense-rank the groups that actually contain rows → empty periods
+    # collapse exactly like the reference's new_period() no-op
+    ranked = grouped.select(
+        "value",
+        (F.dense_rank().over(Window.orderBy("grp")) - 1).alias("period"),
+    )
+    toks = ranked.select(F.split(F.trim("value"), r"\s+").alias("t"), "period")
+    return toks.select(
+        F.col("t").getItem(0).alias("winner"),
+        F.col("t").getItem(1).alias("loser"),
+        F.coalesce(F.get("t", 2).cast("double"), F.lit(1.0)).alias(
+            "weight"
+        ),
+        F.col("period").cast("long").alias("period"),
     )

@@ -84,6 +84,30 @@ def save_model_parquet(scores: DataFrame, path: str) -> None:
     scores.select("name", "score").write.mode("overwrite").parquet(path)
 
 
+def save_two_section_tsv(top: DataFrame, bottom: DataFrame, path: str) -> None:
+    """The reference CLI's two-section format for hits / birank: first
+    side's ``id: score`` lines, a blank line, then the second side's —
+    each sorted score desc, name asc (hits = authorities then hubs,
+    ``crates/propagon-cli/src/emit.rs:88-100``; birank = src side then
+    dst side, ``emit.rs:157-169``)."""
+
+    def emit(f, scores: DataFrame) -> None:
+        rows = (
+            scores.select("name", "score")
+            .orderBy(F.desc("score"), F.asc("name"))
+            .collect()
+        )
+        for r in rows:
+            f.write(f"{r['name']}: {r['score']}\n")
+
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        emit(f, top)
+        f.write("\n")
+        emit(f, bottom)
+    os.replace(tmp, path)
+
+
 def save_scores_tsv(scores: DataFrame, path: str) -> None:
     """The reference CLI's default stdout format: sorted ``id: score``
     lines (``crates/propagon-cli/src/emit.rs:14-19``; ordering

@@ -142,3 +142,26 @@ def test_multimodal_stub(spark):
     frames = frame_sample(assets.where(F.col("media_type") == "video"),
                           every_ms=1000, fake=True)
     assert frames.count() > 0
+
+
+def test_ann_recall_harness(spark):
+    # planted clusters: 8 tight bundles of 6 vectors each; the LSH path
+    # with the clustered-corpus default must recover nearly all exact
+    # top-3 neighbors, and its rescoring must agree with the oracle
+    import numpy as np
+
+    from propagon_spark.functions.similarity import ann_recall_at_k
+
+    rng = np.random.RandomState(7)
+    centers = rng.standard_normal((8, 32))
+    rows = []
+    i = 0
+    for c in centers:
+        for _ in range(6):
+            v = c + 0.05 * rng.standard_normal(32)
+            rows.append((f"v{i:03d}", [float(x) for x in v]))
+            i += 1
+    df = spark.createDataFrame(rows, "vec_id string, embedding array<double>")
+    r = ann_recall_at_k(df, k=3, num_planes=8, num_tables=8)
+    assert r["rescore_mismatches"] == 0
+    assert r["recall_at_k"] >= 0.9
