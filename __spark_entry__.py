@@ -5,9 +5,14 @@ driver-generated test tables; ``oracle_sql()`` holds the equivalent
 DuckDB SQL. Graph queries run over a co-occurrence edge table derived
 from ``lineitem`` (order = commit, part = file — the same co-commit
 derivation as SURVEY.md §7.2; see
-``propagon_spark/sources/tpch_graph.py``). Iterative fixpoint operators
-(k-core, converged PageRank, MinHash/SimHash near-dup) have no practical
-ANSI-SQL twin and are registered without an oracle (rows-only check).
+``propagon_spark/sources/tpch_graph.py``). Fixed-iteration kernels
+(pagerank/ppr/hits/katz/leader-rank/rank-centrality/random-walker) are
+oracled by UNROLLING the power steps into chained DuckDB CTEs —
+multiply-referenced step CTEs are ``MATERIALIZED`` or DuckDB inlines
+them 2^k-fold. Only genuinely RNG- or fixpoint-bound operators (k-core
+peel, converged PageRank, MinHash/SimHash signatures + the cluster
+operator riding them, bootstrap resampling, sampled harmonic) are
+registered without an oracle (rows-only check).
 
 Float-valued results are rounded to 9 decimals on BOTH sides: the math
 is arranged so both engines fold doubles in the same order, and the
@@ -41,6 +46,7 @@ RC_ITERS = 20
 RW_ITERS = 20
 RW_BIAS = 0.75
 HARMONIC_DEPTH = 4
+PR_CONV_STEPS = 60
 
 
 def _doc(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -243,6 +249,21 @@ def q_leader_rank_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("name", F.round("score", 9).alias("score"))
 
 
+def q_pagerank_conv60(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # drives the CONVERGENCE-mode loop machinery (per-step delta
+    # observation, chain=1, lineage truncation) against a hard oracle: a
+    # tolerance no power iteration reaches makes the loop run exactly
+    # max_iterations steps, which a 60-step unrolled SQL twin reproduces
+    from propagon_spark.graph.pagerank import pagerank
+
+    g = _graph(spark, sf_dir, symmetric=True)
+    res = pagerank(
+        g, damping=DAMPING, sink="none", tol=1e-30,
+        max_iterations=PR_CONV_STEPS,
+    )
+    return res.scores.select("name", F.round("score", 9).alias("score"))
+
+
 def q_harmonic_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # exact depth-bounded harmonic (unit BFS, undirected) on the sparse
     # min_weight>=2 subgraph — SQL twin is a depth-capped recursive CTE
@@ -357,6 +378,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_stats": q_text_stats,
         "lang_id": q_lang_id,
         "ann_cosine_topk": q_ann_cosine_topk,
+        "pagerank_conv60": q_pagerank_conv60,
         "hits_k2": q_hits_k,
         "katz_k3": q_katz_k,
         "leader_rank_k3": q_leader_rank_k,
@@ -387,20 +409,22 @@ def _pr_unrolled(damping: float, iters: int, seeded: bool) -> str:
     v0 = v.replace("v.id", "id") if seeded else v
     sql = [
         f"WITH {ORACLE_EDGES_CTE},",
-        "e AS (SELECT src, dst FROM pairs UNION ALL SELECT dst, src FROM pairs),",
-        "v AS (SELECT DISTINCT src AS id FROM e),",
+        "e AS MATERIALIZED (SELECT src, dst FROM pairs"
+        " UNION ALL SELECT dst, src FROM pairs),",
+        "v AS MATERIALIZED (SELECT DISTINCT src AS id FROM e),",
         "n AS (SELECT CAST(count(*) AS DOUBLE) AS c FROM v),",
-        "deg AS (SELECT src AS id, CAST(count(*) AS DOUBLE) AS outdeg FROM e GROUP BY 1),",
+        "deg AS MATERIALIZED (SELECT src AS id,"
+        " CAST(count(*) AS DOUBLE) AS outdeg FROM e GROUP BY 1),",
         f"r0 AS (SELECT id, {v0} AS rank FROM v),",
     ]
     for k in range(1, iters + 1):
         sql.append(
-            f"g{k} AS (SELECT e.dst AS id, sum(r.rank/d.outdeg) AS m "
+            f"g{k} AS MATERIALIZED (SELECT e.dst AS id, sum(r.rank/d.outdeg) AS m "
             f"FROM e JOIN r{k-1} r ON e.src = r.id JOIN deg d ON e.src = d.id "
             f"GROUP BY 1),"
         )
         sql.append(
-            f"r{k} AS (SELECT v.id, {damping}*coalesce(g{k}.m, 0.0) "
+            f"r{k} AS MATERIALIZED (SELECT v.id, {damping}*coalesce(g{k}.m, 0.0) "
             f"+ {1.0 - damping}*{v} AS rank "
             f"FROM v LEFT JOIN g{k} ON v.id = g{k}.id),"
         )
@@ -668,6 +692,7 @@ def oracle_sql() -> dict[str, str]:
         "degree_total": _degree_sql("total"),
         "pagerank_k3": _pr_unrolled(DAMPING, PR_ITERS, seeded=False),
         "ppr_seeded_k3": _pr_unrolled(PPR_DAMPING, PR_ITERS, seeded=True),
+        "pagerank_conv60": _pr_unrolled(DAMPING, PR_CONV_STEPS, seeded=False),
         "hits_k2": _hits_unrolled(HITS_ITERS),
         "katz_k3": _katz_unrolled(KATZ_ALPHA, KATZ_ITERS),
         "leader_rank_k3": _leader_rank_unrolled(LR_ITERS),

@@ -162,20 +162,27 @@ def pagerank(
     t_setup = time.monotonic()
 
     # ---- one-time setup (loop-invariant, persisted) --------------------
+    # persist the canonicalized frame: the setup passes that follow
+    # (out-degrees, block/scatter build, sink detection) would otherwise
+    # each re-run the full-width distinct over the raw edge table
     edges = dedup_edges(g.edges)
     if sink == "reverse":
         edges = _reverse_rewrite(edges)
+    edges = edges.persist(_STORAGE)
 
     # validate seeds up front (shared by both kernels)
     _teleport_frame(g, seeds)
 
     if impl == "csr" or (impl == "auto" and n <= csr_max_vertices):
-        return _run_csr(
-            g, edges, damping=damping, sink=sink, seeds=seeds, tol=tol,
-            iterations=iterations, max_iterations=max_iterations,
-            checkpoint_interval=checkpoint_interval,
-            checkpoint_dir=checkpoint_dir, run_id=run_id, resume=resume,
-        )
+        try:
+            return _run_csr(
+                g, edges, damping=damping, sink=sink, seeds=seeds, tol=tol,
+                iterations=iterations, max_iterations=max_iterations,
+                checkpoint_interval=checkpoint_interval,
+                checkpoint_dir=checkpoint_dir, run_id=run_id, resume=resume,
+            )
+        finally:
+            edges.unpersist()
 
     outdeg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
     # scatter frame: (src, dst, inv) — inverse out-degree folded in so the
@@ -414,6 +421,7 @@ def pagerank(
     )
     scatter.unpersist()
     vstat.unpersist()
+    edges.unpersist()
     return PageRankResult(
         scores=scores,
         ranks=ranks,

@@ -49,14 +49,15 @@ from propagon_spark.errors import NumericError
 from propagon_spark.graph.core import Graph, sorted_scores
 
 
-#: worker-process-local CSR block cache: {(fit_token, block_file):
-#: (src, dst, inv)}. The per-iteration input to Python workers is only a
-#: frame of BLOCK FILE PATHS — the edge arrays are read from Parquet with
-#: pyarrow on first touch and stay resident in the reused worker process
-#: (spark.python.worker.reuse, default on). Re-shipping 10^7-10^8 Arrow
-#: rows JVM→Python every iteration is exactly what this avoids; a cold
-#: worker re-reads its block file (local/shared storage) — correct
-#: fallback, never wrong, only slower.
+#: worker-process CSR block cache: {(fit_token, block_file): (src, dst,
+#: inv)}. The per-iteration input to Python workers is only a frame of
+#: BLOCK FILE PATHS — re-shipping 10^7-10^8 Arrow rows JVM→Python every
+#: iteration is exactly what this avoids. Local blocks are decoded to
+#: dst-sorted ``.npy`` sidecars once and then MEMORY-MAPPED: the OS page
+#: cache holds the single shared copy for every worker on the node, so
+#: the unstable task→worker binding costs an mmap open, not a Parquet
+#: decode. Remote (hdfs://, s3://) blocks fall back to a per-process
+#: materialized cache under the byte budget below.
 _BLOCK_CACHE: dict = {}
 
 #: per-worker cache budget in bytes (task→worker binding is not stable,
@@ -66,57 +67,130 @@ _CACHE_BYTES = int(os.environ.get("PROPAGON_CSR_CACHE_BYTES", 2_000_000_000))
 
 
 def _cache_size() -> int:
-    return sum(a.nbytes + b.nbytes + c.nbytes for a, b, c in _BLOCK_CACHE.values())
+    # memmapped entries are page-cache-backed, not process-private
+    return sum(
+        sum(a.nbytes for a in arrs)
+        for arrs in _BLOCK_CACHE.values()
+        if not isinstance(arrs[0], np.memmap)
+    )
+
+
+def _as_local_path(path: str) -> str | None:
+    """Plain or ``file:`` path → POSIX path; other schemes → None."""
+    if path.startswith("file:"):
+        from urllib.parse import urlparse
+
+        return urlparse(path).path
+    if "://" not in path and not path.startswith(("hdfs:", "s3:", "s3a:")):
+        return path
+    return None
+
+
+_SIDECARS = (".src.npy", ".dst.npy")
+
+
+def _npy_writer_factory(blocks_dir: str):
+    """mapInPandas writer: accumulate this partition's (already
+    dst-sorted) rows and publish them as .npy column files with atomic
+    renames; emits the block path prefix."""
+
+    def write(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pyspark import TaskContext
+
+        parts = [pdf for pdf in batches]
+        pid = TaskContext.get().partitionId()
+        prefix = os.path.join(blocks_dir, f"block_{pid:05d}")
+        if parts:
+            src = np.concatenate([p["src"].to_numpy() for p in parts])
+            dst = np.concatenate([p["dst"].to_numpy() for p in parts])
+            # CSR-ish dst-sorted layout, sorted HERE in numpy — far
+            # cheaper than the JVM row sorter for fixed-width int pairs
+            order = np.argsort(dst, kind="stable")
+            cols = (src[order], dst[order])
+        else:
+            cols = (np.empty(0, dtype="int32"), np.empty(0, dtype="int32"))
+        for suffix, a in zip(_SIDECARS, cols):
+            tmp = f"{prefix}{suffix}.tmp.{os.getpid()}"
+            with open(tmp, "wb") as f:
+                np.save(f, np.ascontiguousarray(a))
+            os.replace(tmp, prefix + suffix)
+        yield pd.DataFrame({"path": [prefix]})
+
+    return write
+
+
+def _read_parquet_block(path: str):
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(path, columns=["src", "dst"])
+    src = t.column("src").to_numpy()
+    dst = t.column("dst").to_numpy()
+    if len(dst) > 1 and not (dst[1:] >= dst[:-1]).all():
+        # blocks are written dst-sorted (sortWithinPartitions); keep the
+        # argsort as a safety net for blocks from older writers
+        order = np.argsort(dst, kind="stable")
+        src, dst = src[order], dst[order]
+    return (
+        np.ascontiguousarray(src),
+        np.ascontiguousarray(dst),
+    )
 
 
 def _load_block(token: str, path: str):
     key = (token, path)
     arrs = _BLOCK_CACHE.get(key)
-    if arrs is None:
-        import pyarrow.parquet as pq
+    if arrs is not None:
+        return arrs
 
-        read_path = path
-        if path.startswith("file:"):
-            # normalize file:/x and file:///x URIs to plain local paths;
-            # non-local schemes (hdfs://, s3://) go to pyarrow's
-            # URI-aware FileSystem.from_uri path as-is
-            from urllib.parse import urlparse
+    read_path = _as_local_path(path) or path
 
-            read_path = urlparse(path).path
-        t = pq.read_table(read_path, columns=["src", "dst", "inv"])
-        src = t.column("src").to_numpy()
-        dst = t.column("dst").to_numpy()
-        inv = t.column("inv").to_numpy()
-        # dst-sorted layout (CSR-ish) for bincount locality
-        order = np.argsort(dst, kind="stable")
-        arrs = (
-            np.ascontiguousarray(src[order]),
-            np.ascontiguousarray(dst[order]),
-            np.ascontiguousarray(inv[order]),
-        )
+    if _as_local_path(path) is not None:
+        # Local block → mmapped npy columns. Task→worker binding is
+        # unstable, so per-PROCESS caches miss constantly; memory-mapped
+        # columns make the OS page cache the single shared copy across
+        # every Python worker on the node — a re-"load" after the first
+        # touch is three mmap opens, no decompress, no copy. Direct-npy
+        # blocks (the local write path) exist up front; parquet blocks
+        # from the portable writer are converted by the first toucher
+        # (atomic renames; racers convert redundantly and lose).
+        sidecars = [read_path + s for s in _SIDECARS]
+        if not all(os.path.exists(s) for s in sidecars):
+            cols = _read_parquet_block(read_path)
+            for s, a in zip(sidecars, cols):
+                tmp = f"{s}.tmp.{os.getpid()}"
+                with open(tmp, "wb") as f:
+                    np.save(f, a)
+                os.replace(tmp, s)
+        arrs = tuple(np.load(s, mmap_mode="r") for s in sidecars)
+        # mmaps hold no process-private memory — cache without budget
+        _BLOCK_CACHE[key] = arrs
         for k in list(_BLOCK_CACHE):
             if k[0] != token:
                 del _BLOCK_CACHE[k]
-        _BLOCK_CACHE[key] = arrs
-        # enforce the per-worker budget: task→worker binding is unstable,
-        # so one reused worker can otherwise accumulate every block of the
-        # fit. Dicts preserve insertion order → FIFO evict oldest entries
-        # (keep the one just inserted).
-        while _cache_size() > _CACHE_BYTES and len(_BLOCK_CACHE) > 1:
-            _BLOCK_CACHE.pop(next(iter(_BLOCK_CACHE)))
+        return arrs
+
+    # remote block (hdfs:// etc.): materialized per-process cache with a
+    # FIFO budget (dicts preserve insertion order; keep the newest entry)
+    arrs = _read_parquet_block(path)
+    for k in list(_BLOCK_CACHE):
+        if k[0] != token:
+            del _BLOCK_CACHE[k]
+    _BLOCK_CACHE[key] = arrs
+    while _cache_size() > _CACHE_BYTES and len(_BLOCK_CACHE) > 1:
+        _BLOCK_CACHE.pop(next(iter(_BLOCK_CACHE)))
     return arrs
 
 
 def _gather_factory(n: int, rank_bc, token: str):
     def gather(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        rank = rank_bc.value
+        pdiv = rank_bc.value  # p·inv_out, division pre-folded on driver
         acc = None
         for pdf in batches:
             for path in pdf["path"]:
-                src, dst, inv = _load_block(token, path)
+                src, dst = _load_block(token, path)
                 if len(dst) == 0:
                     continue
-                part = np.bincount(dst, weights=rank[src] * inv, minlength=n)
+                part = np.bincount(dst, weights=pdiv[src], minlength=n)
                 acc = part if acc is None else acc + part
         if acc is not None:
             nz = np.nonzero(acc)[0]
@@ -147,37 +221,61 @@ def pagerank_csr(
     spark = g.spark
     sc = spark.sparkContext
     n = g.num_vertices
-    nparts = g.edges.rdd.getNumPartitions()
     t_setup = time.monotonic()
 
-    outdeg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
-    # materialize dst-partitioned CSR block files once; workers read and
+    edges.count()  # materialize the persisted canonical frame ONCE
+    t_dedup = time.monotonic()
+
+    # materialize dst-partitioned CSR block files once; workers mmap and
     # cache their blocks, so per-iteration traffic is one rank-vector
-    # broadcast out and one n-row Arrow collect back. Blocks live under
-    # the session checkpoint dir (Hadoop-FS path all executors can read —
-    # on a cluster that's HDFS/S3, never the driver's /tmp).
+    # broadcast out and one n-row Arrow collect back. Blocks hold ONLY
+    # (src, dst) — int32 below 2^31 vertices, 8 bytes/edge — because the
+    # inverse out-degree is folded into the broadcast on the DRIVER
+    # (p·inv_out is n multiplies), so the block build needs no join and
+    # every iteration streams a third of the bytes. Blocks live under
+    # the session checkpoint dir (a path all executors can read — on a
+    # cluster that's HDFS/S3 or a shared mount, never the driver's /tmp).
     ckdir = sc.getCheckpointDir()
     if ckdir:
         blocks_dir = ckdir.rstrip("/") + f"/csr_blocks_{_uuid.uuid4().hex}"
     else:
         blocks_dir = tempfile.mkdtemp(prefix="propagon_csr_")
-    (
-        edges.join(outdeg, "src")
-        .select(
-            F.col("src").cast("long"),
-            F.col("dst").cast("long"),
-            (F.lit(1.0) / F.col("outdeg")).alias("inv"),
-        )
-        .repartition(nparts, "dst")
-        .write.mode("overwrite")
-        .parquet(blocks_dir)
-    )
-    # file listing through Spark, not os.listdir — works on any Hadoop FS
-    block_files = sorted(spark.read.parquet(blocks_dir).inputFiles())
+    # one block per core: fewer tasks per iteration = less constant
+    # Python-runner overhead in the hot loop (blocks are ~|E|/cores rows)
+    nblocks = max(1, sc.defaultParallelism)
+    id_type = "int" if n <= 2**31 - 1 else "long"
+    block_frame = edges.select(
+        F.col("src").cast(id_type),
+        F.col("dst").cast(id_type),
+    ).repartition(nblocks, "dst")
+
+    local_blocks_dir = _as_local_path(blocks_dir)
+    if local_blocks_dir is None:
+        # CSR-ish layout baked into the parquet file (the local npy
+        # writer sorts in numpy instead — far cheaper than the JVM row
+        # sorter for fixed-width int pairs)
+        block_frame = block_frame.sortWithinPartitions("dst")
+    if local_blocks_dir is not None:
+        # POSIX-visible block store (local mode / shared mount): write
+        # dst-sorted .npy columns DIRECTLY from the repartition pass —
+        # one pass, no Parquet encode+decode round trip, and the hot
+        # loop mmaps them via the shared OS page cache.
+        os.makedirs(local_blocks_dir, exist_ok=True)
+        rows = block_frame.mapInPandas(
+            _npy_writer_factory(local_blocks_dir), schema="path string"
+        ).collect()
+        block_files = sorted(r["path"] for r in rows)
+    else:
+        # portable path (hdfs:// etc.): Parquet blocks, decoded into the
+        # per-process cache on first touch
+        block_frame.write.mode("overwrite").parquet(blocks_dir)
+        # file listing through Spark, not os.listdir — any Hadoop FS
+        block_files = sorted(spark.read.parquet(blocks_dir).inputFiles())
     # round-robin repartition: exactly one block file per task
     blocks = spark.createDataFrame(
         [(f,) for f in block_files], "path string"
     ).repartition(max(1, len(block_files)))
+    t_blocks = time.monotonic()
 
     # driver-held vertex state ------------------------------------------
     if seeds is None:
@@ -197,15 +295,14 @@ def pagerank_csr(
         for name, w in seeds.items():
             v[id_of[str(name)]] = float(w) / total
 
-    sink_ids = np.array(
-        sorted(
-            r["id"]
-            for r in g.vocab.select("id")
-            .join(outdeg.withColumnRenamed("src", "id"), "id", "left_anti")
-            .collect()
-        ),
-        dtype="int64",
-    )
+    # out-degree vector (one small collect): inv_out folds the division
+    # into the broadcast, and zero-outdegree rows ARE the sinks — no
+    # separate anti-join pass
+    odf = edges.groupBy("src").agg(F.count("*").alias("outdeg")).toPandas()
+    outdeg_vec = np.zeros(n)
+    outdeg_vec[odf["src"].to_numpy()] = odf["outdeg"].to_numpy()
+    inv_out = np.where(outdeg_vec > 0, 1.0 / outdeg_vec, 0.0)
+    sink_ids = np.nonzero(outdeg_vec == 0)[0].astype("int64")
 
     if init_ranks is not None:
         p = np.zeros(n)
@@ -223,6 +320,9 @@ def pagerank_csr(
     timings = {
         "kernel": "csr",
         "setup_s": time.monotonic() - t_setup,
+        "setup_dedup_s": t_dedup - t_setup,
+        "setup_blocks_s": t_blocks - t_dedup,
+        "setup_state_s": time.monotonic() - t_blocks,
         "bcast_s": 0.0,
         "gather_s": 0.0,
         "update_s": 0.0,
@@ -230,7 +330,9 @@ def pagerank_csr(
 
     while it < total_iters:
         t0 = time.monotonic()
-        rank_bc = sc.broadcast(p)
+        # p·inv_out on the driver (n multiplies) — elementwise identical
+        # to the join kernel's rank·inv, keeping csr/join parity exact
+        rank_bc = sc.broadcast(p * inv_out)
         t_b = time.monotonic()
         timings["bcast_s"] += t_b - t0
         partials = blocks.mapInPandas(

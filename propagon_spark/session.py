@@ -48,16 +48,36 @@ def get_spark(
             os.environ.get("PROPAGON_SHUFFLE_PARTITIONS", cpus)
         )
 
+    # Scratch I/O placement decides whether shuffles scale with cores in
+    # local mode: /tmp is typically disk-backed (serial IO ceiling), so
+    # prefer tmpfs when it exists. On a real cluster spark.local.dir is
+    # the node-local SSD set by the cluster manager — the env override
+    # wins everywhere.
+    local_dir = os.environ.get("PROPAGON_LOCAL_DIR")
+    if local_dir is None:
+        shm = "/dev/shm"
+        local_dir = (
+            os.path.join(shm, "propagon_spark_local")
+            if os.path.isdir(shm) and os.access(shm, os.W_OK)
+            else os.path.join(tempfile.gettempdir(), "propagon_spark_local")
+        )
+    os.makedirs(local_dir, exist_ok=True)
+
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.local.dir", local_dir)
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
-        .config("spark.driver.memory", os.environ.get("PROPAGON_DRIVER_MEM", "8g"))
+        # local mode runs every task thread inside the driver JVM: size the
+        # heap for cores × per-task hash-agg/join state or large distincts
+        # spill on arrival (8g starved 32 threads over a 222M-row graph).
+        # Lazily committed — small jobs don't actually take 48g of RSS.
+        .config("spark.driver.memory", os.environ.get("PROPAGON_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.executorEnv.PYTHONPATH", os.environ["PYTHONPATH"])
@@ -67,9 +87,11 @@ def get_spark(
     spark = builder.getOrCreate()
 
     if checkpoint_dir is None:
+        # co-locate durable iteration state (and the CSR block store that
+        # lives under it) with the fast scratch dir
         checkpoint_dir = os.environ.get(
             "PROPAGON_CHECKPOINT_DIR",
-            os.path.join(tempfile.gettempdir(), "propagon_spark_ckpt"),
+            os.path.join(os.path.dirname(local_dir), "propagon_spark_ckpt"),
         )
     os.makedirs(checkpoint_dir, exist_ok=True)
     spark.sparkContext.setCheckpointDir(checkpoint_dir)

@@ -42,6 +42,29 @@ def read_edge_text(
     )
 
 
+def read_seeds(path: str) -> dict[str, float]:
+    """Teleport seeds for personalized PageRank: ``name [weight]`` per
+    line, weight defaulting to 1 (``propagon-cli/src/io.rs:244-262``).
+    Returns the dict :func:`propagon_spark.graph.pagerank.pagerank`
+    accepts as ``seeds=`` (driver-side small file, like the reference)."""
+    seeds: dict[str, float] = {}
+    with open(path) as f:
+        for lineno, line in enumerate(f, 1):
+            toks = line.split()
+            if not toks:
+                continue
+            w = 1.0
+            if len(toks) > 1:
+                try:
+                    w = float(toks[1])
+                except ValueError as exc:
+                    raise ValueError(
+                        f"bad seed weight {toks[1]!r} on line {lineno}"
+                    ) from exc
+            seeds[toks[0]] = seeds.get(toks[0], 0.0) + w
+    return seeds
+
+
 def read_pairwise_text(
     spark: SparkSession, path: str, periods: bool = False
 ) -> DataFrame:

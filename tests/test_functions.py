@@ -136,7 +136,7 @@ def test_multimodal_stub(spark):
     rows = feats.collect()
     assert len(rows) == 12
     assert all(len(r["features"]) == 4 for r in rows)
-    # real decode is stubbed
+    # synth payloads aren't valid WAV/PPM/BMP — real decode rejects them
     with pytest.raises(Exception):
         extract_features(assets, fake=False).collect()
     frames = frame_sample(assets.where(F.col("media_type") == "video"),

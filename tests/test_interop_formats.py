@@ -82,3 +82,17 @@ def test_two_section_emitter(spark, tmp_path):
     p = str(tmp_path / "two.txt")
     save_two_section_tsv(top, bottom, p)
     assert open(p).read() == "a: 0.7\nb: 0.3\n\ny: 0.8\nx: 0.2\n"
+
+
+def test_read_seeds(tmp_path):
+    from propagon_spark.sources.edge_text import read_seeds
+
+    p = tmp_path / "seeds.txt"
+    p.write_text("a 2.5\nb\n\nc 1\na 0.5\n")
+    assert read_seeds(str(p)) == {"a": 3.0, "b": 1.0, "c": 1.0}
+    bad = tmp_path / "bad.txt"
+    bad.write_text("a xyz\n")
+    import pytest
+
+    with pytest.raises(ValueError, match="line 1"):
+        read_seeds(str(bad))
