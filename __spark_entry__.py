@@ -299,6 +299,28 @@ def q_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_near_duplicates(_doc(spark, sf_dir), threshold=0.5)
 
 
+NGRAM_N = 3
+NGRAM_THRESHOLD = 0.5
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from propagon_spark.functions.dedup import ngram_jaccard_pairs
+
+    out = ngram_jaccard_pairs(
+        _doc(spark, sf_dir), n=NGRAM_N, threshold=NGRAM_THRESHOLD,
+        max_docs_per_gram=None,  # exact variant == the SQL twin
+    )
+    return out.select("a", "b", F.round("jaccard", 9).alias("jaccard"))
+
+
+def q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # 64-bit SimHash + 4-block pigeonhole (signature hash stream has no
+    # SQL twin ⇒ rows-only, like minhash)
+    from propagon_spark.functions.dedup import simhash_near_duplicates
+
+    return simhash_near_duplicates(_doc(spark, sf_dir), max_hamming=8)
+
+
 def q_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # minhash pairs → connected-components clusters (RNG-hashed
     # signatures ⇒ rows-only, like minhash_neardup)
@@ -387,7 +409,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "random_walker": q_random_walker,
         "pagerank_converged": q_pagerank_converged,
         "kcore_minw2": q_kcore,
+        "ngram_jaccard": q_ngram_jaccard,
         "minhash_neardup": q_minhash_neardup,
+        "simhash_neardup": q_simhash_neardup,
         "neardup_clusters": q_neardup_clusters,
         "birank_supplier_part": q_birank,
         "bootstrap_degree_ci": q_bootstrap_degree,
@@ -678,6 +702,35 @@ def _marker_count_sql(words: list[str]) -> str:
     return " + ".join(terms)
 
 
+def _ngram_jaccard_sql(n: int, threshold: float) -> str:
+    """SQL twin of the exact word-n-gram Jaccard pairs (dedup.py):
+    regexp tokenize → list-comprehension n-grams → unnest inverted
+    index → pair intersection counts → Jaccard."""
+    return rf"""WITH toks AS MATERIALIZED (
+    SELECT doc_id AS id,
+           list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+                       x -> x <> '') AS w
+    FROM documents),
+grams AS MATERIALIZED (
+    SELECT id,
+           CASE WHEN len(w) >= {n} THEN
+               list_distinct(list_transform(range(1, len(w) - {n} + 2),
+                   i -> array_to_string(list_slice(w, i, i + {n} - 1), ' ')))
+           ELSE [] END AS grams
+    FROM toks),
+sizes AS (SELECT id, len(grams) AS sz FROM grams),
+inv AS MATERIALIZED (SELECT id, unnest(grams) AS g FROM grams),
+pairs AS (SELECT x.id AS a, y.id AS b, CAST(count(*) AS DOUBLE) AS inter
+          FROM inv x JOIN inv y ON x.g = y.g AND x.id < y.id
+          GROUP BY 1, 2)
+SELECT p.a, p.b,
+       ROUND(p.inter / (sa.sz + sb.sz - p.inter), 9) AS jaccard
+FROM pairs p
+JOIN sizes sa ON p.a = sa.id
+JOIN sizes sb ON p.b = sb.id
+WHERE p.inter / (sa.sz + sb.sz - p.inter) >= {threshold}"""
+
+
 def oracle_sql() -> dict[str, str]:
     from propagon_spark.functions.text import _LANG_MARKERS
 
@@ -746,6 +799,7 @@ SELECT coalesce(w.name, l.name) AS name,
        coalesce(loss_weight, 0.0) AS loss_weight
 FROM w FULL OUTER JOIN l ON w.name = l.name""",
         "sha_invariant": "SELECT doc_id, sha256(text) AS sha FROM documents",
+        "ngram_jaccard": _ngram_jaccard_sql(NGRAM_N, NGRAM_THRESHOLD),
         "dedup_exact": """SELECT sha256(text) AS content_sha,
        min(doc_id) AS keep_id, CAST(count(*) AS BIGINT) AS copies
 FROM documents GROUP BY 1""",
