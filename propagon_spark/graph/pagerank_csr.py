@@ -1,14 +1,17 @@
 """CSR-blocked PageRank kernel (the north-star fast path).
 
-Distributed **edge blocks** + driver-held **vertex state**: the edge frame
-(src, dst, inv_outdeg) is hash-partitioned by ``dst`` once and cached;
-each iteration broadcasts the dense rank vector (ids are dense 0..n-1 by
-construction — see ids.py) and every partition computes its gather with a
-vectorized ``np.bincount`` inside ``mapInPandas`` (Arrow batches, no
-per-row Python). Because blocks are dst-partitioned, each vertex's
-partial arrives from exactly one partition: the per-iteration data
-movement is one n-vector broadcast out and one n-row Arrow collect back —
-**no join and no shuffle in the hot loop**.
+Distributed **edge blocks** + driver-held **vertex state**: the (src,
+dst) edge pairs are bucketed once by ``dst % nblocks`` into ``.npy``
+shards written straight off the canonical frame's existing partitions
+(no repartition shuffle — see ``_shard_writer_factory``); each iteration
+broadcasts the dense rank vector (ids are dense 0..n-1 by construction —
+see ids.py) and every bucket task computes its gather with a vectorized
+``np.bincount`` into an L2-resident n/nblocks accumulator inside
+``mapInPandas`` (Arrow batches, no per-row Python). Because each dst
+belongs to exactly one bucket, each vertex's partial arrives from
+exactly one task: the per-iteration data movement is one n-vector
+broadcast out and one n-row Arrow collect back — **no join and no
+shuffle anywhere in the fit**.
 
 This is the right physical strategy while the vertex state fits the
 driver/executor memory (8 bytes/vertex: ~80 MB at 10^7). Beyond
@@ -89,32 +92,52 @@ def _as_local_path(path: str) -> str | None:
 _SIDECARS = (".src.npy", ".dst.npy")
 
 
-def _npy_writer_factory(blocks_dir: str):
-    """mapInPandas writer: accumulate this partition's (already
-    dst-sorted) rows and publish them as .npy column files with atomic
-    renames; emits the block path prefix."""
+def _shard_writer_factory(blocks_dir: str, nblocks: int):
+    """No-shuffle block build (the local / shared-POSIX-mount path).
+
+    mapInPandas over the canonical frame's EXISTING partitions: each task
+    buckets its rows by ``dst % nblocks`` in numpy and publishes one
+    (src, dst_local) ``.npy`` shard pair per non-empty bucket, where
+    ``dst_local = dst // nblocks`` (the bucket id is in the filename).
+    This replaces the 10^8-row ``repartition(nblocks, "dst")`` Spark
+    shuffle — measured as the dominant, worst-scaling setup cost — with
+    one Arrow pass and a linear numpy bucket sort; the "shuffle" becomes
+    the gather tasks each mmapping the ~#partitions shard files of their
+    bucket. Local dst indices keep the per-bucket accumulator dense and
+    L2-resident (n/nblocks doubles instead of n).
+
+    Emits (bucket, path-prefix) rows; empty partitions emit nothing.
+    """
 
     def write(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from pyspark import TaskContext
 
         parts = [pdf for pdf in batches]
         pid = TaskContext.get().partitionId()
-        prefix = os.path.join(blocks_dir, f"block_{pid:05d}")
+        out_b: list[int] = []
+        out_p: list[str] = []
         if parts:
             src = np.concatenate([p["src"].to_numpy() for p in parts])
             dst = np.concatenate([p["dst"].to_numpy() for p in parts])
-            # CSR-ish dst-sorted layout, sorted HERE in numpy — far
-            # cheaper than the JVM row sorter for fixed-width int pairs
-            order = np.argsort(dst, kind="stable")
-            cols = (src[order], dst[order])
-        else:
-            cols = (np.empty(0, dtype="int32"), np.empty(0, dtype="int32"))
-        for suffix, a in zip(_SIDECARS, cols):
-            tmp = f"{prefix}{suffix}.tmp.{os.getpid()}"
-            with open(tmp, "wb") as f:
-                np.save(f, np.ascontiguousarray(a))
-            os.replace(tmp, prefix + suffix)
-        yield pd.DataFrame({"path": [prefix]})
+            b = dst % nblocks
+            order = np.argsort(b, kind="stable")
+            src, dst, b = src[order], dst[order], b[order]
+            dloc = (dst // nblocks).astype(dst.dtype)
+            bounds = np.searchsorted(b, np.arange(nblocks + 1))
+            for k in range(nblocks):
+                lo, hi = int(bounds[k]), int(bounds[k + 1])
+                if lo == hi:
+                    continue
+                prefix = os.path.join(blocks_dir, f"shard_{k:05d}_{pid:05d}")
+                for suffix, a in zip(_SIDECARS, (src[lo:hi], dloc[lo:hi])):
+                    tmp = f"{prefix}{suffix}.tmp.{os.getpid()}"
+                    with open(tmp, "wb") as f:
+                        np.save(f, np.ascontiguousarray(a))
+                    os.replace(tmp, prefix + suffix)
+                out_b.append(k)
+                out_p.append(prefix)
+        yield pd.DataFrame({"bucket": pd.array(out_b, dtype="int32"),
+                            "path": out_p})
 
     return write
 
@@ -123,16 +146,11 @@ def _read_parquet_block(path: str):
     import pyarrow.parquet as pq
 
     t = pq.read_table(path, columns=["src", "dst"])
-    src = t.column("src").to_numpy()
-    dst = t.column("dst").to_numpy()
-    if len(dst) > 1 and not (dst[1:] >= dst[:-1]).all():
-        # blocks are written dst-sorted (sortWithinPartitions); keep the
-        # argsort as a safety net for blocks from older writers
-        order = np.argsort(dst, kind="stable")
-        src, dst = src[order], dst[order]
+    # no ordering requirement: the gather is an order-insensitive
+    # np.bincount scatter-add
     return (
-        np.ascontiguousarray(src),
-        np.ascontiguousarray(dst),
+        np.ascontiguousarray(t.column("src").to_numpy()),
+        np.ascontiguousarray(t.column("dst").to_numpy()),
     )
 
 
@@ -181,20 +199,49 @@ def _load_block(token: str, path: str):
     return arrs
 
 
-def _gather_factory(n: int, rank_bc, token: str):
+def _gather_factory(n: int, nblocks: int, rank_bc, token: str):
+    """Per-task SpMV gather. Rows are (bucket, ';'-joined shard paths):
+    bucket >= 0 → local ``.npy`` shards storing (src, dst_local) for the
+    vertices ≡ bucket (mod nblocks) — accumulate into a dense L2-resident
+    n/nblocks vector, emit global ids ``bucket + nblocks·i``;
+    bucket == -1 → a portable Parquet block with global dst ids.
+    Either way each dst is owned by exactly one task, so the driver can
+    assign (not add) the collected partials."""
+
     def gather(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         pdiv = rank_bc.value  # p·inv_out, division pre-folded on driver
-        acc = None
         for pdf in batches:
-            for path in pdf["path"]:
-                src, dst = _load_block(token, path)
-                if len(dst) == 0:
-                    continue
-                part = np.bincount(dst, weights=pdiv[src], minlength=n)
-                acc = part if acc is None else acc + part
-        if acc is not None:
-            nz = np.nonzero(acc)[0]
-            yield pd.DataFrame({"dst": nz.astype("int64"), "m": acc[nz]})
+            for bucket, paths in zip(pdf["bucket"], pdf["paths"]):
+                k = int(bucket)
+                if k >= 0:
+                    size = (n - 1 - k) // nblocks + 1 if n > k else 0
+                    acc = np.zeros(size)
+                    for path in paths.split(";"):
+                        src, dloc = _load_block(token, path)
+                        if len(dloc):
+                            acc += np.bincount(
+                                dloc, weights=pdiv[src], minlength=size
+                            )
+                    nz = np.nonzero(acc)[0]
+                    if len(nz):
+                        yield pd.DataFrame(
+                            {"dst": (k + nblocks * nz).astype("int64"),
+                             "m": acc[nz]}
+                        )
+                else:
+                    acc = None
+                    for path in paths.split(";"):
+                        src, dst = _load_block(token, path)
+                        if len(dst) == 0:
+                            continue
+                        part = np.bincount(dst, weights=pdiv[src], minlength=n)
+                        acc = part if acc is None else acc + part
+                    if acc is not None:
+                        nz = np.nonzero(acc)[0]
+                        if len(nz):
+                            yield pd.DataFrame(
+                                {"dst": nz.astype("int64"), "m": acc[nz]}
+                            )
 
     return gather
 
@@ -240,41 +287,49 @@ def pagerank_csr(
         blocks_dir = ckdir.rstrip("/") + f"/csr_blocks_{_uuid.uuid4().hex}"
     else:
         blocks_dir = tempfile.mkdtemp(prefix="propagon_csr_")
-    # one block per core: fewer tasks per iteration = less constant
-    # Python-runner overhead in the hot loop (blocks are ~|E|/cores rows)
+    # one bucket per core: fewer tasks per iteration = less constant
+    # Python-runner overhead in the hot loop (buckets are ~|E|/cores rows)
     nblocks = max(1, sc.defaultParallelism)
     id_type = "int" if n <= 2**31 - 1 else "long"
     block_frame = edges.select(
         F.col("src").cast(id_type),
         F.col("dst").cast(id_type),
-    ).repartition(nblocks, "dst")
+    )
 
     local_blocks_dir = _as_local_path(blocks_dir)
-    if local_blocks_dir is None:
-        # CSR-ish layout baked into the parquet file (the local npy
-        # writer sorts in numpy instead — far cheaper than the JVM row
-        # sorter for fixed-width int pairs)
-        block_frame = block_frame.sortWithinPartitions("dst")
     if local_blocks_dir is not None:
-        # POSIX-visible block store (local mode / shared mount): write
-        # dst-sorted .npy columns DIRECTLY from the repartition pass —
-        # one pass, no Parquet encode+decode round trip, and the hot
-        # loop mmaps them via the shared OS page cache.
+        # POSIX-visible block store (local mode / shared mount): bucket
+        # by dst%nblocks in numpy straight off the canonical frame's
+        # existing partitions — NO repartition shuffle (measured as the
+        # dominant and worst-scaling setup cost at 2·10^8 edges), no
+        # Parquet encode/decode; the hot loop mmaps the shards via the
+        # shared OS page cache.
         os.makedirs(local_blocks_dir, exist_ok=True)
         rows = block_frame.mapInPandas(
-            _npy_writer_factory(local_blocks_dir), schema="path string"
+            _shard_writer_factory(local_blocks_dir, nblocks),
+            schema="bucket int, path string",
         ).collect()
-        block_files = sorted(r["path"] for r in rows)
+        by_bucket: dict[int, list[str]] = {}
+        for r in rows:
+            by_bucket.setdefault(int(r["bucket"]), []).append(r["path"])
+        block_rows = [
+            (k, ";".join(sorted(ps))) for k, ps in sorted(by_bucket.items())
+        ]
     else:
-        # portable path (hdfs:// etc.): Parquet blocks, decoded into the
-        # per-process cache on first touch
-        block_frame.write.mode("overwrite").parquet(blocks_dir)
+        # portable path (hdfs:// etc.): dst-partitioned Parquet blocks,
+        # decoded into the per-process cache on first touch
+        block_frame.repartition(nblocks, "dst").write.mode(
+            "overwrite"
+        ).parquet(blocks_dir)
         # file listing through Spark, not os.listdir — any Hadoop FS
-        block_files = sorted(spark.read.parquet(blocks_dir).inputFiles())
-    # round-robin repartition: exactly one block file per task
+        block_rows = [
+            (-1, f)
+            for f in sorted(spark.read.parquet(blocks_dir).inputFiles())
+        ]
+    # round-robin repartition: exactly one bucket/block row per task
     blocks = spark.createDataFrame(
-        [(f,) for f in block_files], "path string"
-    ).repartition(max(1, len(block_files)))
+        block_rows, "bucket int, paths string"
+    ).repartition(max(1, len(block_rows)))
     t_blocks = time.monotonic()
 
     # driver-held vertex state ------------------------------------------
@@ -301,7 +356,9 @@ def pagerank_csr(
     odf = edges.groupBy("src").agg(F.count("*").alias("outdeg")).toPandas()
     outdeg_vec = np.zeros(n)
     outdeg_vec[odf["src"].to_numpy()] = odf["outdeg"].to_numpy()
-    inv_out = np.where(outdeg_vec > 0, 1.0 / outdeg_vec, 0.0)
+    inv_out = np.divide(
+        1.0, outdeg_vec, out=np.zeros(n), where=outdeg_vec > 0
+    )
     sink_ids = np.nonzero(outdeg_vec == 0)[0].astype("int64")
 
     if init_ranks is not None:
@@ -336,7 +393,8 @@ def pagerank_csr(
         t_b = time.monotonic()
         timings["bcast_s"] += t_b - t0
         partials = blocks.mapInPandas(
-            _gather_factory(n, rank_bc, token), schema="dst long, m double"
+            _gather_factory(n, nblocks, rank_bc, token),
+            schema="dst long, m double",
         ).toPandas()
         t_g = time.monotonic()
         timings["gather_s"] += t_g - t_b
