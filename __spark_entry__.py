@@ -223,6 +223,23 @@ def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # LSH-bucketed candidate generation (numpy-RNG hyperplanes ⇒ no SQL
+    # twin, rows-only); rescoring is exact cosine, pairs a < b
+    from propagon_spark.functions.similarity import embedding_near_duplicates
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    # the synthetic embeddings carry no true duplicates (max pairwise
+    # cosine ~0.51), so the threshold is set low enough to exercise the
+    # bucket → rescore → threshold path on real pairs
+    out = embedding_near_duplicates(
+        emb, threshold=0.4, num_planes=4, num_tables=8
+    )
+    return out.select("a", "b", F.round("cosine", 9).alias("cosine"))
+
+
 def q_hits_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     from propagon_spark.graph.hits import hits
 
@@ -400,6 +417,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_stats": q_text_stats,
         "lang_id": q_lang_id,
         "ann_cosine_topk": q_ann_cosine_topk,
+        "embedding_neardup": q_embedding_neardup,
         "pagerank_conv60": q_pagerank_conv60,
         "hits_k2": q_hits_k,
         "katz_k3": q_katz_k,

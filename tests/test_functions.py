@@ -165,3 +165,28 @@ def test_ann_recall_harness(spark):
     r = ann_recall_at_k(df, k=3, num_planes=8, num_tables=8)
     assert r["rescore_mismatches"] == 0
     assert r["recall_at_k"] >= 0.9
+
+
+def test_embedding_near_duplicates_planted(spark):
+    # exact copies always share every LSH bucket (angle 0 ⇒ per-plane
+    # collision probability 1), so planted duplicates are guaranteed
+    # candidates regardless of the hyperplane draw
+    import numpy as np
+
+    from propagon_spark.functions.similarity import embedding_near_duplicates
+
+    rng = np.random.RandomState(11)
+    base = rng.standard_normal((40, 16))
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(base)]
+    planted = {(0, 40), (1, 41), (2, 42)}
+    for a, b in sorted(planted):
+        rows.append((b, rows[a][1]))  # exact duplicate of vector a
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = embedding_near_duplicates(
+        df, threshold=0.95, num_planes=8, num_tables=4
+    ).collect()
+    found = {(r["a"], r["b"]) for r in out}
+    assert planted <= found
+    assert all(r["cosine"] >= 0.95 for r in out)
+    # random 16-dim gaussians sit near 90 deg — no spurious pairs
+    assert found == planted
