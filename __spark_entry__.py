@@ -42,6 +42,10 @@ HITS_ITERS = 2
 KATZ_ALPHA = 0.1
 KATZ_ITERS = 3
 LR_ITERS = 3
+#: peel rounds per k in the k-core oracle CTE — must cover the longest
+#: remove-recompute cascade at any k on the driver's sf (validated vs the
+#: Spark peel in tests; extra rounds are no-ops)
+_KCORE_ROUNDS = 32
 RC_ITERS = 20
 RW_ITERS = 20
 RW_BIAS = 0.75
@@ -784,6 +788,29 @@ sizes AS (SELECT component, CAST(count(*) AS BIGINT) AS component_size
           FROM comp GROUP BY 1)
 SELECT c.id AS name, c.component, s.component_size
 FROM comp c JOIN sizes s USING (component)""",
+        # Batagelj-Zaversnik peel as a recursive CTE: the working table IS
+        # the surviving set S(k, r); one synchronized remove-all-deg<=k
+        # round per recursion step (HAVING count(*) > k over the
+        # self-joined frontier), _KCORE_ROUNDS rounds per k (no-op rounds
+        # once the cascade converges), then k advances carrying the
+        # converged set; coreness(v) = max k whose peel v entered.
+        # Mirrors kcore.py / kcore.rs:40-100 exactly; round cap validated
+        # against the Spark peel at sf0.001/sf0.01 in tests.
+        "kcore_minw2": f"""WITH RECURSIVE {ORACLE_EDGES_CTE},
+ce AS (SELECT src, dst FROM pairs WHERE weight >= 2),
+se AS (SELECT src, dst FROM ce UNION SELECT dst, src FROM ce),
+v AS (SELECT DISTINCT src AS id FROM se),
+peel(k, r, id) AS (
+    SELECT 0, 0, id FROM v
+    UNION ALL
+    SELECT CASE WHEN f.r < {_KCORE_ROUNDS - 1} THEN f.k ELSE f.k + 1 END,
+           CASE WHEN f.r < {_KCORE_ROUNDS - 1} THEN f.r + 1 ELSE 0 END,
+           f.id
+    FROM peel f JOIN se e ON e.src = f.id JOIN peel g ON g.id = e.dst
+    GROUP BY f.k, f.r, f.id
+    HAVING count(*) > f.k
+)
+SELECT id AS name, CAST(max(k) AS BIGINT) AS coreness FROM peel GROUP BY id""",
         "triangle_total": f"{_TRI_BASE}\nSELECT CAST(count(*) AS BIGINT) AS triangles FROM t",
         "triangles_per_vertex": f"""{_TRI_BASE},
 pv AS (SELECT x AS id FROM t UNION ALL SELECT y FROM t UNION ALL SELECT z FROM t),
