@@ -114,6 +114,15 @@ def main() -> None:
     with open(os.path.join(REPO, "BENCH", f"scaling_{n}x{n4}.json"), "w") as f:
         json.dump(report, f, indent=1)
 
+    try:
+        sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+        import report
+
+        report.main()  # recompose BASELINE.md from every recorded pair
+        return
+    except Exception as e:  # fall back to the single-pair report
+        print(f"report compose failed ({e}); writing single-pair md")
+
     tl, th = lo.get("timings", {}), hi.get("timings", {})
     md = f"""# BENCH — two-parallelism scaling evidence (north rule N→4N)
 
