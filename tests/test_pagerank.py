@@ -154,3 +154,20 @@ def test_salting_equivalence(g4):
     )
     for k in base:
         assert abs(base[k] - salted[k]) < 1e-12, k
+
+
+def test_portable_parquet_block_path(g4, monkeypatch):
+    # the hdfs/s3 block-store branch (Parquet blocks, global-dst gather,
+    # bucket == -1 rows) never triggers on a POSIX checkpoint dir — force
+    # it by making every path look remote, and pin it to the local shard
+    # path bit-for-bit
+    from propagon_spark.graph import pagerank_csr
+
+    local = scores_dict(
+        pagerank(g4, iterations=10, sink="uniform", impl="csr").scores
+    )
+    monkeypatch.setattr(pagerank_csr, "_as_local_path", lambda p: None)
+    portable = scores_dict(
+        pagerank(g4, iterations=10, sink="uniform", impl="csr").scores
+    )
+    assert local == portable
