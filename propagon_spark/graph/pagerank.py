@@ -327,15 +327,20 @@ def pagerank(
         )
 
     total_iters = iterations if tol is None else max_iterations
-    # Convergence mode needs the L1 delta every iteration → one
-    # materialization per step. Parity mode (reference semantics: fixed
-    # iteration budget, no early exit, pagerank.rs:104-105) chains lazy
-    # steps into one Spark job; chain length is bounded by how many times
-    # each step's plan references `ranks` (plan size ~ refs^chain).
+    # Parity mode (reference semantics: fixed iteration budget, no early
+    # exit, pagerank.rs:104-105) chains lazy steps into one Spark job;
+    # chain length is bounded by how many times each step's plan
+    # references `ranks` (plan size ~ refs^chain). Convergence mode
+    # chains too, checking the CHAIN-step L1 delta ||p_{t+C} − p_t||₁
+    # against tol: a C-step delta upper-bounds the single-step delta, so
+    # stopping is strictly conservative (≤ C−1 extra power steps) while
+    # cutting jobs — and with them shuffle rounds and lineage
+    # materializations — by C×. The `all` sink stays at 1 (its step
+    # already references `ranks` 3×).
+    refs = {"none": 1, "reverse": 1, "uniform": 2, "all": 3}[sink]
     if tol is not None:
-        chain = 1
+        chain = {1: 4, 2: 3, 3: 1}[refs]
     else:
-        refs = {"none": 1, "reverse": 1, "uniform": 2, "all": 3}[sink]
         chain = {1: 8, 2: 3, 3: 1}[refs]
     converged = False
     it = start_iter
@@ -349,7 +354,16 @@ def pagerank(
         need_delta = tol is not None
         cur = ranks
         for k in range(steps):
-            cur = step(cur, with_old=need_delta and k == steps - 1)
+            # single-step delta rides the step's own `old`; a chained
+            # delta joins back to the chain-start frame below instead
+            cur = step(cur, with_old=need_delta and steps == 1 and k == steps - 1)
+        if need_delta and steps > 1:
+            cur = cur.join(
+                ranks.select("id", F.col("rank").alias("old")).hint(
+                    "shuffle_hash"
+                ),
+                "id",
+            )
 
         # materialize + truncate lineage every loop turn — without
         # truncation the logical plan compounds per iteration. Convergence

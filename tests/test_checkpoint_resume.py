@@ -47,11 +47,15 @@ def test_resume_equals_continuous(spark, g, tmp_path, impl):
     res = scores_dict(resumed.scores)
     for k in cont:
         assert abs(cont[k] - res[k]) < 1e-9, k
-    # metrics carry the pre-interrupt history and continue at iteration 7
-    # (no reset to 0) — evidence the run resumed mid-convergence
+    # metrics carry the pre-interrupt history and continue past the
+    # resume point with no reset to 0 — evidence the run resumed
+    # mid-convergence. Iteration numbers advance by the kernel's chain
+    # stride (1 for csr; up to 3 chained lazy steps per job for the
+    # uniform-sink join kernel), so assert the invariants, not a stride.
     iters = [m["iteration"] for m in resumed.metrics]
-    assert iters[:6] == [1, 2, 3, 4, 5, 6]
-    assert iters[6] == 7
+    assert all(a < b for a, b in zip(iters, iters[1:]))
+    assert iters[0] <= 6 and 6 in iters
+    assert iters[-1] > 6
 
 
 def test_manifest_contents(spark, g, tmp_path):
