@@ -68,6 +68,13 @@ _BLOCK_CACHE: dict = {}
 #: beyond this). Uncached blocks are re-read from Parquet — cheap.
 _CACHE_BYTES = int(os.environ.get("PROPAGON_CSR_CACHE_BYTES", 2_000_000_000))
 
+#: per-worker cap on cached mmap ENTRIES: each np.load(mmap_mode="r")
+#: holds an open file descriptor until evicted, and a long fit can walk a
+#: worker across many buckets' shards (unstable task→worker binding).
+#: 512 entries = 1024 fds worst case, inside a default RLIMIT_NOFILE;
+#: eviction costs one re-mmap on the next touch, no decode.
+_MMAP_CACHE_ENTRIES = int(os.environ.get("PROPAGON_CSR_MMAP_ENTRIES", 512))
+
 
 def _cache_size() -> int:
     # memmapped entries are page-cache-backed, not process-private
@@ -180,11 +187,14 @@ def _load_block(token: str, path: str):
                     np.save(f, a)
                 os.replace(tmp, s)
         arrs = tuple(np.load(s, mmap_mode="r") for s in sidecars)
-        # mmaps hold no process-private memory — cache without budget
+        # mmaps hold no process-private memory (page-cache-backed), but
+        # each holds an open fd — cap ENTRIES, not bytes
         _BLOCK_CACHE[key] = arrs
         for k in list(_BLOCK_CACHE):
             if k[0] != token:
                 del _BLOCK_CACHE[k]
+        while len(_BLOCK_CACHE) > _MMAP_CACHE_ENTRIES:
+            _BLOCK_CACHE.pop(next(iter(_BLOCK_CACHE)))
         return arrs
 
     # remote block (hdfs:// etc.): materialized per-process cache with a
