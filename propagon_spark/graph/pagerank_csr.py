@@ -52,15 +52,14 @@ from propagon_spark.errors import NumericError
 from propagon_spark.graph.core import Graph, sorted_scores
 
 
-#: worker-process CSR block cache: {(fit_token, block_file): (src, dst,
-#: inv)}. The per-iteration input to Python workers is only a frame of
-#: BLOCK FILE PATHS — re-shipping 10^7-10^8 Arrow rows JVM→Python every
-#: iteration is exactly what this avoids. Local blocks are decoded to
-#: dst-sorted ``.npy`` sidecars once and then MEMORY-MAPPED: the OS page
-#: cache holds the single shared copy for every worker on the node, so
-#: the unstable task→worker binding costs an mmap open, not a Parquet
-#: decode. Remote (hdfs://, s3://) blocks fall back to a per-process
-#: materialized cache under the byte budget below.
+#: worker-process shard cache: {(fit_token, shard_prefix): (src,
+#: dst_local)}. The per-iteration input to Python workers is only a frame
+#: of SHARD PATHS — re-shipping 10^7-10^8 Arrow rows JVM→Python every
+#: iteration is exactly what this avoids. Local ``.npy`` shards are
+#: MEMORY-MAPPED: the OS page cache holds the single shared copy for
+#: every worker on the node, so the unstable task→worker binding costs an
+#: mmap open, not a Parquet decode. Remote (hdfs://, s3://) blocks fall
+#: back to a per-process materialized cache under the byte budget below.
 _BLOCK_CACHE: dict = {}
 
 #: per-worker cache budget in bytes (task→worker binding is not stable,
