@@ -27,7 +27,10 @@ from propagon_spark.canon import symmetrize
 from propagon_spark.graph.core import Graph
 from propagon_spark.plans.iterate import truncate_lineage, truncate_lineage_lazy
 
-_STORAGE = StorageLevel.MEMORY_AND_DISK
+# deserialized columnar cache: the serialized level costs ~1.5x to build
+# and ~3.5x per re-read at 2e8 rows (measured; see BENCH/BASELINE.md) -
+# iterative kernels re-read their persisted frames every pass
+_STORAGE = StorageLevel.MEMORY_AND_DISK_DESER
 
 
 def _min_label_fixpoint(g: Graph) -> DataFrame:

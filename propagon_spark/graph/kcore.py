@@ -22,7 +22,10 @@ from propagon_spark.canon import canonical_undirected, symmetrize
 from propagon_spark.graph.core import Graph
 from propagon_spark.plans.iterate import truncate_lineage
 
-_STORAGE = StorageLevel.MEMORY_AND_DISK
+# deserialized columnar cache: the serialized level costs ~1.5x to build
+# and ~3.5x per re-read at 2e8 rows (measured; see BENCH/BASELINE.md) -
+# iterative kernels re-read their persisted frames every pass
+_STORAGE = StorageLevel.MEMORY_AND_DISK_DESER
 
 
 def kcore(g: Graph) -> DataFrame:

@@ -57,7 +57,10 @@ logger = logging.getLogger("propagon_spark.pagerank")
 
 _SINKS = ("none", "uniform", "all", "reverse")
 
-_STORAGE = StorageLevel.MEMORY_AND_DISK
+# deserialized columnar cache: the serialized level costs ~1.5x to build
+# and ~3.5x per re-read at 2e8 rows (measured; see BENCH/BASELINE.md) -
+# iterative kernels re-read their persisted frames every pass
+_STORAGE = StorageLevel.MEMORY_AND_DISK_DESER
 
 
 @dataclass

@@ -1,17 +1,17 @@
 """CSR-blocked PageRank kernel (the north-star fast path).
 
 Distributed **edge blocks** + driver-held **vertex state**: the (src,
-dst) edge pairs are bucketed once by ``dst % nblocks`` into ``.npy``
-shards written straight off the canonical frame's existing partitions
-(no repartition shuffle — see ``_shard_writer_factory``); each iteration
-broadcasts the dense rank vector (ids are dense 0..n-1 by construction —
-see ids.py) and every bucket task computes its gather with a vectorized
-``np.bincount`` into an L2-resident n/nblocks accumulator inside
-``mapInPandas`` (Arrow batches, no per-row Python). Because each dst
-belongs to exactly one bucket, each vertex's partial arrives from
-exactly one task: the per-iteration data movement is one n-vector
-broadcast out and one n-row Arrow collect back — **no join and no
-shuffle anywhere in the fit**.
+dst) edge pairs are bucketed once by ``dst % nblocks`` via a JVM-only
+dynamic-partitioned Parquet write straight off the canonical frame's
+existing partitions (no repartition shuffle, no JVM→Python feed); each
+iteration broadcasts the dense rank vector (ids are dense 0..n-1 by
+construction — see ids.py) and every bucket task computes its gather
+with a vectorized ``np.bincount`` over mmapped ``.npy`` sidecars
+(pyarrow-decoded from the Parquet blocks on first touch) inside
+``mapInPandas``. Because each dst belongs to exactly one bucket, each
+vertex's partial arrives from exactly one task: the per-iteration data
+movement is one n-vector broadcast out and one n-row Arrow collect
+back — **no join and no shuffle anywhere in the fit**.
 
 This is the right physical strategy while the vertex state fits the
 driver/executor memory (8 bytes/vertex: ~80 MB at 10^7). Beyond
@@ -36,6 +36,7 @@ from __future__ import annotations
 
 import math
 import os
+import re
 import shutil
 import tempfile
 import time
@@ -52,14 +53,15 @@ from propagon_spark.errors import NumericError
 from propagon_spark.graph.core import Graph, sorted_scores
 
 
-#: worker-process shard cache: {(fit_token, shard_prefix): (src,
-#: dst_local)}. The per-iteration input to Python workers is only a frame
-#: of SHARD PATHS — re-shipping 10^7-10^8 Arrow rows JVM→Python every
-#: iteration is exactly what this avoids. Local ``.npy`` shards are
-#: MEMORY-MAPPED: the OS page cache holds the single shared copy for
-#: every worker on the node, so the unstable task→worker binding costs an
-#: mmap open, not a Parquet decode. Remote (hdfs://, s3://) blocks fall
-#: back to a per-process materialized cache under the byte budget below.
+#: worker-process block cache: {(fit_token, block_file): (src, dst)}.
+#: The per-iteration input to Python workers is only a frame of BLOCK
+#: FILE PATHS — re-shipping 10^7-10^8 Arrow rows JVM→Python every
+#: iteration is exactly what this avoids. Local blocks are pyarrow-
+#: decoded to ``.npy`` sidecars once and then MEMORY-MAPPED: the OS page
+#: cache holds the single shared copy for every worker on the node, so
+#: the unstable task→worker binding costs an mmap open, not a Parquet
+#: decode. Remote (hdfs://, s3://) blocks fall back to a per-process
+#: materialized cache under the byte budget below.
 _BLOCK_CACHE: dict = {}
 
 #: per-worker cache budget in bytes (task→worker binding is not stable,
@@ -96,56 +98,6 @@ def _as_local_path(path: str) -> str | None:
 
 
 _SIDECARS = (".src.npy", ".dst.npy")
-
-
-def _shard_writer_factory(blocks_dir: str, nblocks: int):
-    """No-shuffle block build (the local / shared-POSIX-mount path).
-
-    mapInPandas over the canonical frame's EXISTING partitions: each task
-    buckets its rows by ``dst % nblocks`` in numpy and publishes one
-    (src, dst_local) ``.npy`` shard pair per non-empty bucket, where
-    ``dst_local = dst // nblocks`` (the bucket id is in the filename).
-    This replaces the 10^8-row ``repartition(nblocks, "dst")`` Spark
-    shuffle — measured as the dominant, worst-scaling setup cost — with
-    one Arrow pass and a linear numpy bucket sort; the "shuffle" becomes
-    the gather tasks each mmapping the ~#partitions shard files of their
-    bucket. Local dst indices keep the per-bucket accumulator dense and
-    L2-resident (n/nblocks doubles instead of n).
-
-    Emits (bucket, path-prefix) rows; empty partitions emit nothing.
-    """
-
-    def write(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from pyspark import TaskContext
-
-        parts = [pdf for pdf in batches]
-        pid = TaskContext.get().partitionId()
-        out_b: list[int] = []
-        out_p: list[str] = []
-        if parts:
-            src = np.concatenate([p["src"].to_numpy() for p in parts])
-            dst = np.concatenate([p["dst"].to_numpy() for p in parts])
-            b = dst % nblocks
-            order = np.argsort(b, kind="stable")
-            src, dst, b = src[order], dst[order], b[order]
-            dloc = (dst // nblocks).astype(dst.dtype)
-            bounds = np.searchsorted(b, np.arange(nblocks + 1))
-            for k in range(nblocks):
-                lo, hi = int(bounds[k]), int(bounds[k + 1])
-                if lo == hi:
-                    continue
-                prefix = os.path.join(blocks_dir, f"shard_{k:05d}_{pid:05d}")
-                for suffix, a in zip(_SIDECARS, (src[lo:hi], dloc[lo:hi])):
-                    tmp = f"{prefix}{suffix}.tmp.{os.getpid()}"
-                    with open(tmp, "wb") as f:
-                        np.save(f, np.ascontiguousarray(a))
-                    os.replace(tmp, prefix + suffix)
-                out_b.append(k)
-                out_p.append(prefix)
-        yield pd.DataFrame({"bucket": pd.array(out_b, dtype="int32"),
-                            "path": out_p})
-
-    return write
 
 
 def _read_parquet_block(path: str):
@@ -208,49 +160,29 @@ def _load_block(token: str, path: str):
     return arrs
 
 
-def _gather_factory(n: int, nblocks: int, rank_bc, token: str):
-    """Per-task SpMV gather. Rows are (bucket, ';'-joined shard paths):
-    bucket >= 0 → local ``.npy`` shards storing (src, dst_local) for the
-    vertices ≡ bucket (mod nblocks) — accumulate into a dense L2-resident
-    n/nblocks vector, emit global ids ``bucket + nblocks·i``;
-    bucket == -1 → a portable Parquet block with global dst ids.
-    Either way each dst is owned by exactly one task, so the driver can
-    assign (not add) the collected partials."""
+def _gather_factory(n: int, rank_bc, token: str):
+    """Per-task SpMV gather. Each row carries one bucket's ';'-joined
+    block files (all edges with the same ``dst % nblocks``); buckets
+    partition the dst space, so each dst is owned by exactly one task and
+    the driver can assign (not add) the collected partials."""
 
     def gather(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         pdiv = rank_bc.value  # p·inv_out, division pre-folded on driver
         for pdf in batches:
-            for bucket, paths in zip(pdf["bucket"], pdf["paths"]):
-                k = int(bucket)
-                if k >= 0:
-                    size = (n - 1 - k) // nblocks + 1 if n > k else 0
-                    acc = np.zeros(size)
-                    for path in paths.split(";"):
-                        src, dloc = _load_block(token, path)
-                        if len(dloc):
-                            acc += np.bincount(
-                                dloc, weights=pdiv[src], minlength=size
-                            )
+            for paths in pdf["paths"]:
+                acc = None
+                for path in paths.split(";"):
+                    src, dst = _load_block(token, path)
+                    if len(dst) == 0:
+                        continue
+                    part = np.bincount(dst, weights=pdiv[src], minlength=n)
+                    acc = part if acc is None else acc + part
+                if acc is not None:
                     nz = np.nonzero(acc)[0]
                     if len(nz):
                         yield pd.DataFrame(
-                            {"dst": (k + nblocks * nz).astype("int64"),
-                             "m": acc[nz]}
+                            {"dst": nz.astype("int64"), "m": acc[nz]}
                         )
-                else:
-                    acc = None
-                    for path in paths.split(";"):
-                        src, dst = _load_block(token, path)
-                        if len(dst) == 0:
-                            continue
-                        part = np.bincount(dst, weights=pdiv[src], minlength=n)
-                        acc = part if acc is None else acc + part
-                    if acc is not None:
-                        nz = np.nonzero(acc)[0]
-                        if len(nz):
-                            yield pd.DataFrame(
-                                {"dst": nz.astype("int64"), "m": acc[nz]}
-                            )
 
     return gather
 
@@ -300,44 +232,41 @@ def pagerank_csr(
     # Python-runner overhead in the hot loop (buckets are ~|E|/cores rows)
     nblocks = max(1, sc.defaultParallelism)
     id_type = "int" if n <= 2**31 - 1 else "long"
-    block_frame = edges.select(
-        F.col("src").cast(id_type),
-        F.col("dst").cast(id_type),
-    )
 
-    local_blocks_dir = _as_local_path(blocks_dir)
-    if local_blocks_dir is not None:
-        # POSIX-visible block store (local mode / shared mount): bucket
-        # by dst%nblocks in numpy straight off the canonical frame's
-        # existing partitions — NO repartition shuffle (measured as the
-        # dominant and worst-scaling setup cost at 2·10^8 edges), no
-        # Parquet encode/decode; the hot loop mmaps the shards via the
-        # shared OS page cache.
-        os.makedirs(local_blocks_dir, exist_ok=True)
-        rows = block_frame.mapInPandas(
-            _shard_writer_factory(local_blocks_dir, nblocks),
-            schema="bucket int, path string",
-        ).collect()
-        by_bucket: dict[int, list[str]] = {}
-        for r in rows:
-            by_bucket.setdefault(int(r["bucket"]), []).append(r["path"])
-        block_rows = [
-            (k, ";".join(sorted(ps))) for k, ps in sorted(by_bucket.items())
-        ]
-    else:
-        # portable path (hdfs:// etc.): dst-partitioned Parquet blocks,
-        # decoded into the per-process cache on first touch
-        block_frame.repartition(nblocks, "dst").write.mode(
-            "overwrite"
-        ).parquet(blocks_dir)
-        # file listing through Spark, not os.listdir — any Hadoop FS
-        block_rows = [
-            (-1, f)
-            for f in sorted(spark.read.parquet(blocks_dir).inputFiles())
-        ]
-    # round-robin repartition: exactly one bucket/block row per task
+    # Block build is a JVM-ONLY dynamic-partitioned Parquet write: each of
+    # the canonical frame's existing partitions splits its rows by
+    # ``dst % nblocks`` into per-bucket files — NO repartition shuffle and
+    # NO JVM→Python Arrow feed (measured at 2·10^8 edges: the mapInPandas
+    # feed alone costs ~28 core-seconds/10^8 rows; a columnar Parquet
+    # write is ~5x cheaper and all whole-stage-codegen). Gather tasks
+    # decode their bucket's files directly with pyarrow on first touch
+    # (another ~10x faster than the Spark Arrow feed), publish ``.npy``
+    # sidecars, and mmap them thereafter — the OS page cache keeps one
+    # shared copy per node. Works identically on file://, hdfs://, s3://.
+    (
+        edges.select(
+            F.col("src").cast(id_type),
+            F.col("dst").cast(id_type),
+            F.pmod(F.col("dst"), F.lit(nblocks)).cast("int").alias("bucket"),
+        )
+        .write.partitionBy("bucket")
+        .mode("overwrite")
+        .parquet(blocks_dir)
+    )
+    # file listing through Spark, not os.listdir — works on any Hadoop FS
+    by_bucket: dict[int, list[str]] = {}
+    try:
+        block_files = spark.read.parquet(blocks_dir).inputFiles()
+    except Exception:  # zero-row write leaves no files to infer from
+        block_files = []
+    for f in block_files:
+        m = re.search(r"bucket=(\d+)", f)
+        if m:
+            by_bucket.setdefault(int(m.group(1)), []).append(f)
+    # one row per bucket → exactly one gather task owns each dst range
+    block_rows = [(";".join(sorted(ps)),) for _, ps in sorted(by_bucket.items())]
     blocks = spark.createDataFrame(
-        block_rows, "bucket int, paths string"
+        block_rows, "paths string"
     ).repartition(max(1, len(block_rows)))
     t_blocks = time.monotonic()
 
@@ -402,7 +331,7 @@ def pagerank_csr(
         t_b = time.monotonic()
         timings["bcast_s"] += t_b - t0
         partials = blocks.mapInPandas(
-            _gather_factory(n, nblocks, rank_bc, token),
+            _gather_factory(n, rank_bc, token),
             schema="dst long, m double",
         ).toPandas()
         t_g = time.monotonic()
