@@ -4,9 +4,22 @@ No real multi-executor cluster exists in this sandbox, so the north
 rule's N→4N criterion is evidenced by running the identical PageRank
 job on the identical input at two parallelism levels (local[N] vs
 local[4N]) in separate JVMs, reporting edges-processed/sec at both and
-the scaling efficiency. Writes BENCH/BASELINE.md and prints a JSON line.
+the scaling efficiency. Writes BENCH/scaling_{N}x{4N}[_impl].json,
+recomposes BENCH/BASELINE.md, and prints a JSON line.
 
-Usage: python3 BENCH/scaling.py [sf_dir] [N] [4N]
+De-confounded by design (round-2 verdict items):
+- the CSR bucket/file layout is PINNED across levels
+  (PROPAGON_CSR_NBLOCKS=32) so the N and 4N runs write identical
+  layouts and the phase comparison isolates parallelism;
+- both kernels are measurable (``impl`` arg: csr is the <=10M-vertex
+  fast path, join is the >10M-vertex / 100-TB path);
+- the dedup'd edge count is read from the fit's own timings instead of
+  re-running a second full distinct per worker.
+
+Usage: python3 BENCH/scaling.py [sf_dir] [N] [4N] [repeats] [impl]
+  sf_dir: synth (222M edges / 1M vertices), synth-small (22M / 100k),
+          or a /root/testdata/sf* dir
+  impl:   csr (default) | join
 """
 
 from __future__ import annotations
@@ -14,10 +27,14 @@ from __future__ import annotations
 import json
 import os
 import subprocess
-import time
 import sys
+import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+#: fixed bucket layout across levels — nblocks must not follow the core
+#: count or the N vs 4N comparison is confounded by file/bucket layout
+NBLOCKS = "32"
 
 _WORKER = r"""
 import json, os, sys, time
@@ -30,6 +47,7 @@ from propagon_spark.sources.repo_table import synth_repo_table, derive_edges
 
 cores = int(sys.argv[1])
 sf_dir = sys.argv[2]
+impl = sys.argv[3]
 spark = get_spark(app_name=f"scaling-{{cores}}", master=f"local[{{cores}}]",
                   shuffle_partitions=2 * cores)
 spark.sparkContext.setLogLevel("ERROR")
@@ -44,7 +62,6 @@ if sf_dir.startswith("synth"):
 else:
     edges = cocommit_edges(spark, sf_dir, symmetric=True)
 g = Graph.from_edges(edges, weight="weight")
-dedup = edges.select("src", "dst").distinct().count()
 # best of 2 fits in this JVM: one-time JIT/codegen makes the first fit
 # slow at narrow levels while cache/GC churn can make the SECOND fit slow
 # at wide levels — best-of-K is the standard steady-state protocol and
@@ -52,16 +69,21 @@ dedup = edges.select("src", "dst").distinct().count()
 best = None
 for _fit in range(2):
     t0 = time.monotonic()
-    res = pagerank(g, damping=0.85, sink="uniform", tol=1e-6, max_iterations=100)
+    res = pagerank(g, damping=0.85, sink="uniform", tol=1e-6,
+                   max_iterations=100, impl=impl)
     res.ranks.count()
     secs = time.monotonic() - t0
     if best is None or secs < best[0]:
         best = (secs, res)
 secs, res = best
+# edges actually processed per iteration = the canonicalized (dedup'd)
+# frame's row count, recorded by the fit itself
+dedup = res.timings.get("edge_rows") or \
+    edges.select("src", "dst").distinct().count()
 print("RESULT " + json.dumps({{
     "cores": cores, "seconds": round(secs, 3), "iterations": res.iterations,
     "dedup_edges": dedup, "edges_per_sec": round(dedup * res.iterations / secs),
-    "converged": res.converged,
+    "converged": res.converged, "impl": impl,
     "timings": {{k: (round(v, 3) if isinstance(v, float) else v)
                 for k, v in res.timings.items()}},
 }}))
@@ -69,13 +91,14 @@ spark.stop()
 """
 
 
-def run_level(cores: int, sf_dir: str) -> dict:
+def run_level(cores: int, sf_dir: str, impl: str) -> dict:
     script = _WORKER.format(repo=REPO)
     with open("/proc/loadavg") as f:
         load = float(f.read().split()[0])
+    env = dict(os.environ, PROPAGON_CSR_NBLOCKS=NBLOCKS)
     out = subprocess.run(
-        [sys.executable, "-c", script, str(cores), sf_dir],
-        capture_output=True, text=True, timeout=3600,
+        [sys.executable, "-c", script, str(cores), sf_dir, impl],
+        capture_output=True, text=True, timeout=7200, env=env,
     )
     time.sleep(10)  # let the worker JVM's shutdown hooks finish
     for line in out.stdout.splitlines():
@@ -92,9 +115,10 @@ def run_level(cores: int, sf_dir: str) -> dict:
 
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "synth"
-    n = int(sys.argv[2]) if len(sys.argv) > 2 else 8
-    n4 = int(sys.argv[3]) if len(sys.argv) > 3 else 32
+    n = int(sys.argv[2]) if len(sys.argv) > 2 else 2
+    n4 = int(sys.argv[3]) if len(sys.argv) > 3 else 8
     repeats = int(sys.argv[4]) if len(sys.argv) > 4 else 2
+    impl = sys.argv[5] if len(sys.argv) > 5 else "csr"
 
     # /proc/loadavg here is HOST-wide: other tenants' load shows up in
     # wall-clock and hits the wide level hardest. Alternate the levels
@@ -102,8 +126,8 @@ def main() -> None:
     # per-run loadavg is recorded for transparency.
     lo = hi = None
     for _ in range(repeats):
-        r_lo = run_level(n, sf_dir)
-        r_hi = run_level(n4, sf_dir)
+        r_lo = run_level(n, sf_dir, impl)
+        r_hi = run_level(n4, sf_dir, impl)
         if lo is None or r_lo["seconds"] < lo["seconds"]:
             lo = r_lo
         if hi is None or r_hi["seconds"] < hi["seconds"]:
@@ -111,6 +135,8 @@ def main() -> None:
     efficiency = (lo["seconds"] / hi["seconds"]) / (n4 / n)
     report = {
         "input": sf_dir,
+        "impl": impl,
+        "nblocks": int(NBLOCKS),
         "repeats": repeats,
         "low": lo,
         "high": hi,
@@ -118,54 +144,19 @@ def main() -> None:
         "target": 0.8,
     }
     print(json.dumps(report))
-    with open(os.path.join(REPO, "BENCH", f"scaling_{n}x{n4}.json"), "w") as f:
+    suffix = "" if impl == "csr" else f"_{impl}"
+    out_path = os.path.join(REPO, "BENCH", f"scaling_{n}x{n4}{suffix}.json")
+    with open(out_path, "w") as f:
         json.dump(report, f, indent=1)
 
     try:
         sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-        import report
+        import report as report_mod  # distinct name: `report` above is a dict
 
-        report.main()  # recompose BASELINE.md from every recorded pair
-        return
-    except Exception as e:  # fall back to the single-pair report
-        print(f"report compose failed ({e}); writing single-pair md")
-
-    tl, th = lo.get("timings", {}), hi.get("timings", {})
-    md = f"""# BENCH — two-parallelism scaling evidence (north rule N→4N)
-
-Same PageRank job (damping 0.85, uniform sink, tol 1e-6) on the same
-input ({sf_dir} co-occurrence graph), two parallelism levels, separate
-JVMs, one warm-up fit each; levels alternated over {repeats} repeats,
-best run per level kept (/proc/loadavg is host-wide in this sandbox —
-other tenants' load lands hardest on the wide level). Efficiency =
-(T_N / T_4N) / (cores_4N / cores_N); target >= 0.8 (BASELINE.json).
-
-| level | cores | seconds | iterations | dedup edges | edges/sec | load at start |
-|---|---|---|---|---|---|---|
-| N | {lo['cores']} | {lo['seconds']} | {lo['iterations']} | {lo['dedup_edges']} | {lo['edges_per_sec']} | {lo.get('loadavg_at_start')} |
-| 4N | {hi['cores']} | {hi['seconds']} | {hi['iterations']} | {hi['dedup_edges']} | {hi['edges_per_sec']} | {hi.get('loadavg_at_start')} |
-
-**Scaling efficiency: {report['scaling_efficiency']}** (target >= 0.8).
-
-Per-phase wall time (kernel = {tl.get('kernel')}): where the seconds go,
-and which phase scales.
-
-| phase | N ({lo['cores']} cores) | 4N ({hi['cores']} cores) | phase efficiency |
-|---|---|---|---|
-| setup (canonicalize + CSR block write) | {tl.get('setup_s')} | {th.get('setup_s')} | {round(tl.get('setup_s', 0) / th.get('setup_s', 1) / (n4 / n), 3) if th.get('setup_s') else '-'} |
-| gather (per-iteration distributed SpMV) | {tl.get('gather_s')} | {th.get('gather_s')} | {round(tl.get('gather_s', 0) / th.get('gather_s', 1) / (n4 / n), 3) if th.get('gather_s') else '-'} |
-| broadcast (rank vector out) | {tl.get('bcast_s')} | {th.get('bcast_s')} | - |
-| update (serial driver numpy) | {tl.get('update_s')} | {th.get('update_s')} | - |
-
-Caveat: single-machine local mode shares one JVM heap, one memory bus
-and (host-wide) one CPU pool per level; on a real 4N-executor cluster
-the shuffle is network-bound instead. The partitioning strategy (stable
-hash partitioning by key, partition count scaled with cores, AQE
-coalescing, tmpfs-backed spark.local.dir standing in for node-local
-SSDs) is the same code path spark-submit would run.
-"""
-    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
-        f.write(md)
+        report_mod.main()  # recompose BASELINE.md from every recorded pair
+    except Exception as e:  # BASELINE.md stale until report.py runs again
+        print(f"report compose failed ({e}); {out_path} written — run "
+              f"BENCH/report.py manually")
 
 
 if __name__ == "__main__":

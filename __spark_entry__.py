@@ -183,6 +183,25 @@ def q_tally(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tally(_pairwise(spark, sf_dir))
 
 
+#: min_count for the filter_min_count oracle: measured at sf0.01 the
+#: appearance distribution is 34..191 (median 102); 70 yields a 5-round
+#: cascade to a NONTRIVIAL fixpoint (92,607 of 102,602 rows survive) —
+#: low enough not to collapse, high enough to actually cascade
+FMC_MIN_COUNT = 70
+#: synchronized-removal rounds in the oracle CTE — must cover the longest
+#: cascade (5 at sf0.01); extra rounds are no-ops (same device as
+#: _KCORE_ROUNDS)
+_FMC_ROUNDS = 16
+
+
+def q_filter_min_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # cascading endpoint-count filter to fixpoint (pairwise.rs:213-256);
+    # oracle = recursive-CTE synchronized peel, like the k-core twin
+    from propagon_spark.graph.tally import filter_min_count
+
+    return filter_min_count(_pairwise(spark, sf_dir), FMC_MIN_COUNT)
+
+
 def q_sha_invariant(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _doc(spark, sf_dir).select(
         "doc_id", F.sha2(F.col("text"), 256).alias("sha")
@@ -350,19 +369,41 @@ def q_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return near_duplicate_clusters(_doc(spark, sf_dir), threshold=0.5)
 
 
+def _birank_input(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tpch_graph.load(spark, sf_dir, "lineitem").select(
+        F.col("l_suppkey").alias("src"),
+        F.col("l_partkey").alias("dst"),
+        F.col("l_quantity").alias("weight"),
+    )
+
+
 def q_birank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # bipartite supplier → part endorsements from lineitem (side-local id
     # spaces; seeded random init ⇒ tier-S rows-only check, like the
     # reference's own golden treatment of birank)
     from propagon_spark.graph.birank import birank
 
-    li = tpch_graph.load(spark, sf_dir, "lineitem").select(
-        F.col("l_suppkey").alias("src"),
-        F.col("l_partkey").alias("dst"),
-        F.col("l_quantity").alias("weight"),
-    )
-    res = birank(li, iterations=10)
+    res = birank(_birank_input(spark, sf_dir), iterations=10)
     return res.dst_scores
+
+
+BIRANK_UNIFORM_ITERS = 2
+
+
+def q_birank_uniform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # init="uniform" parity mode: with no priors the sweep is pure
+    # propagation (birank.rs:196-199), so the trajectory from a 1.0 start
+    # is a plain linear recurrence with an unrolled SQL twin — the
+    # oracle-checkable mode for the one graph kernel whose reference init
+    # is RNG-bound
+    from propagon_spark.graph.birank import birank
+
+    res = birank(
+        _birank_input(spark, sf_dir),
+        iterations=BIRANK_UNIFORM_ITERS,
+        init="uniform",
+    )
+    return res.dst_scores.select("name", F.round("score", 9).alias("score"))
 
 
 def q_bootstrap_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -416,6 +457,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangles_per_vertex": q_triangles_per_vertex,
         "lpa_round1": q_lpa_round1,
         "tally": q_tally,
+        "filter_min_count": q_filter_min_count,
         "sha_invariant": q_sha_invariant,
         "dedup_exact": q_dedup_exact,
         "text_stats": q_text_stats,
@@ -436,6 +478,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_neardup": q_simhash_neardup,
         "neardup_clusters": q_neardup_clusters,
         "birank_supplier_part": q_birank,
+        "birank_uniform_k2": q_birank_uniform,
         "bootstrap_degree_ci": q_bootstrap_degree,
         "harmonic_sampled": q_harmonic_sampled,
     }
@@ -659,6 +702,67 @@ p0 AS (SELECT id, 1.0/(SELECT c FROM n) AS pi FROM v),
 {_walk_steps(iters)}"""
 
 
+def _filter_min_count_sql(min_count: int, rounds: int) -> str:
+    """Cascading filter_min_count as a recursive CTE (same synchronized-
+    removal device as the k-core peel twin): the working table is the
+    surviving ENTITY set; one remove-all-below-min_count round per
+    recursion step (HAVING over the multigraph incidence self-join),
+    ``rounds`` rounds (no-ops once the cascade converges); final rows =
+    pairwise rows whose both endpoints survive round ``rounds``. Mirrors
+    tally.filter_min_count / pairwise.rs:213-256."""
+    return f"""WITH RECURSIVE li2 AS (SELECT l_orderkey AS grp, l_linenumber AS ln,
+    concat('t:', lpad(CAST(l_partkey AS VARCHAR), 8, '0')) AS item,
+    l_extendedprice AS p FROM lineitem),
+pw AS MATERIALIZED (SELECT a.item AS winner, b.item AS loser
+       FROM li2 a JOIN li2 b
+       ON a.grp = b.grp AND a.ln <> b.ln AND a.p > b.p),
+me AS MATERIALIZED (SELECT winner AS a, loser AS b FROM pw
+      UNION ALL SELECT loser, winner FROM pw),
+surv(r, id) AS (
+    SELECT 0, nm FROM (SELECT DISTINCT a AS nm FROM me) e0
+    UNION ALL
+    SELECT f.r + 1, f.id
+    FROM surv f JOIN me e ON e.a = f.id JOIN surv g ON g.id = e.b
+    WHERE f.r < {rounds}
+    GROUP BY f.r, f.id
+    HAVING count(*) >= {min_count}
+)
+SELECT p.winner, p.loser, 1.0 AS weight, CAST(0 AS BIGINT) AS period
+FROM pw p
+JOIN (SELECT id FROM surv WHERE r = {rounds}) w ON w.id = p.winner
+JOIN (SELECT id FROM surv WHERE r = {rounds}) l ON l.id = p.loser"""
+
+
+def _birank_uniform_sql(iters: int) -> str:
+    """Unrolled BiRank sweeps from a uniform (all-ones) start: sqrt-degree
+    normalized alternating gathers, no priors (pure propagation,
+    ``birank.rs:196-199`` / propagon_spark/graph/birank.py). Returns the
+    dst (part) side after ``iters`` full sweeps."""
+    sql = [
+        "WITH e AS MATERIALIZED (SELECT CAST(l_suppkey AS VARCHAR) AS s,"
+        " CAST(l_partkey AS VARCHAR) AS d,"
+        " CAST(l_quantity AS DOUBLE) AS w FROM lineitem),",
+        "dsx AS (SELECT s, sqrt(sum(w)) AS ds FROM e GROUP BY 1),",
+        "ddx AS (SELECT d, sqrt(sum(w)) AS dd FROM e GROUP BY 1),",
+        "en AS MATERIALIZED (SELECT e.s, e.d, sum(e.w/(dsx.ds*ddx.dd)) AS nw"
+        " FROM e JOIN dsx ON e.s = dsx.s JOIN ddx ON e.d = ddx.d"
+        " GROUP BY 1, 2),",
+        "u0 AS (SELECT DISTINCT s, 1.0 AS u FROM e),",
+    ]
+    for k in range(1, iters + 1):
+        sql.append(
+            f"p{k} AS MATERIALIZED (SELECT en.d, sum(en.nw * u{k-1}.u) AS p"
+            f" FROM en JOIN u{k-1} ON en.s = u{k-1}.s GROUP BY 1),"
+        )
+        sql.append(
+            f"u{k} AS MATERIALIZED (SELECT en.s, sum(en.nw * p{k}.p) AS u"
+            f" FROM en JOIN p{k} ON en.d = p{k}.d GROUP BY 1),"
+        )
+    sql[-1] = sql[-1].rstrip(",")
+    sql.append(f"SELECT d AS name, ROUND(p, 9) AS score FROM p{iters}")
+    return "\n".join(sql)
+
+
 def _harmonic_bfs_sql(depth: int) -> str:
     """Depth-capped exact harmonic over the undirected min-weight>=2
     subgraph: recursive BFS closure, min distance per (source, node),
@@ -843,6 +947,8 @@ SELECT coalesce(w.name, l.name) AS name,
        coalesce(win_weight, 0.0) AS win_weight,
        coalesce(loss_weight, 0.0) AS loss_weight
 FROM w FULL OUTER JOIN l ON w.name = l.name""",
+        "filter_min_count": _filter_min_count_sql(FMC_MIN_COUNT, _FMC_ROUNDS),
+        "birank_uniform_k2": _birank_uniform_sql(BIRANK_UNIFORM_ITERS),
         "sha_invariant": "SELECT doc_id, sha256(text) AS sha FROM documents",
         "ngram_jaccard": _ngram_jaccard_sql(NGRAM_N, NGRAM_THRESHOLD),
         "dedup_exact": """SELECT sha256(text) AS content_sha,

@@ -349,7 +349,11 @@ def ngram_jaccard_pairs(
     threshold: float = 0.5,
     max_docs_per_gram: int | None = 10_000,
 ) -> DataFrame:
-    """Word-n-gram Jaccard similarity for pairs sharing ≥1 n-gram.
+    """Word-n-gram Jaccard — APPROXIMATE BY DEFAULT: grams appearing in
+    more than ``max_docs_per_gram`` (10,000) docs are dropped from the
+    inverted index, so pairs whose overlap rides frequent grams get a
+    lower-bound Jaccard and can fall below ``threshold``; pass
+    ``max_docs_per_gram=None`` for exact semantics.
 
     Pure Catalyst: tokenize → sliding n-grams (transform over index
     sequence) → explode → inverted-index self-join → |∩| per pair →

@@ -8,11 +8,13 @@ Decoding is REAL for the codec-free formats this sandbox can handle:
 
 - **audio**: WAV (RIFF/PCM) via stdlib ``wave`` — 8/16/32-bit PCM,
   channel-mixed to a mono float signal;
-- **image**: binary PPM (P6) / PGM (P5) and uncompressed 24-bit BMP,
-  parsed with numpy (header + raw pixel array);
+- **image**: binary PPM (P6) / PGM (P5), uncompressed 24-bit BMP
+  (numpy header + raw pixel parse), and **PNG** (stdlib ``zlib``
+  inflate + per-row filter reconstruction — 8-bit non-interlaced
+  grey/RGB/GA/RGBA);
 - anything else tries an optional ``PIL`` import and otherwise raises a
   clearly-marked ``NotImplementedError`` naming the sniffed format
-  (compressed codecs — JPEG/PNG/MP3/H.264 — need libraries this
+  (compressed codecs — JPEG/MP3/H.264 — need libraries this
   container doesn't ship).
 
 ``fake=True`` substitutes a deterministic byte-signal decoder so
@@ -124,6 +126,87 @@ def decode_bmp(payload: bytes) -> np.ndarray:
     return img[..., ::-1].copy()  # BGR → RGB
 
 
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+#: PNG color type → channel count (palette excluded — needs PLTE lookup)
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """PNG → (H, W, C) uint8 via stdlib ``zlib`` + numpy filter
+    reconstruction — no PIL needed for the most common real-world format.
+
+    Supports 8-bit depth, color types grey/RGB/grey+alpha/RGBA,
+    non-interlaced (the overwhelmingly common layout). Filter types
+    0-4 (None/Sub/Up/Average/Paeth) per the spec; Sub/Average/Paeth have
+    a sequential in-row dependency, so reconstruction runs row-wise
+    (vectorized across channels) — a parity/ingest decoder, not a
+    throughput path."""
+    if payload[:8] != _PNG_MAGIC:
+        raise NotImplementedError("not a PNG payload")
+    pos, idat = 8, []
+    w = h = depth = ctype = interlace = None
+    while pos + 8 <= len(payload):
+        ln = int.from_bytes(payload[pos : pos + 4], "big")
+        typ = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + ln]
+        if typ == b"IHDR":
+            w = int.from_bytes(data[0:4], "big")
+            h = int.from_bytes(data[4:8], "big")
+            depth, ctype, interlace = data[8], data[9], data[12]
+        elif typ == b"IDAT":
+            idat.append(data)
+        elif typ == b"IEND":
+            break
+        pos += 12 + ln  # len + type + data + crc
+    if w is None or not idat:
+        raise NotImplementedError("malformed PNG (missing IHDR/IDAT)")
+    if depth != 8 or ctype not in _PNG_CHANNELS or interlace:
+        raise NotImplementedError(
+            f"PNG depth={depth} color_type={ctype} interlace={interlace} "
+            "unsupported (8-bit non-interlaced grey/RGB/GA/RGBA only)"
+        )
+    c = _PNG_CHANNELS[ctype]
+    import zlib  # noqa: PLC0415 — stdlib, import where used
+
+    raw = zlib.decompress(b"".join(idat))
+    stride = w * c
+    if len(raw) < h * (stride + 1):
+        raise NotImplementedError("truncated PNG pixel data")
+    # scanlines: 1 filter byte + stride pixel bytes each
+    lines = np.frombuffer(raw, np.uint8, h * (stride + 1)).reshape(
+        h, stride + 1
+    )
+    filters, rows = lines[:, 0], lines[:, 1:]
+    img = np.zeros((h, stride), np.uint16)  # u16: room for filter sums
+    prior = np.zeros(stride, np.uint16)
+    for y in range(h):
+        f, row = int(filters[y]), rows[y].astype(np.uint16)
+        if f == 0:
+            rec = row
+        elif f == 2:  # Up
+            rec = (row + prior) & 0xFF
+        elif f in (1, 3, 4):  # Sub / Average / Paeth: sequential in x
+            rec = np.zeros(stride, np.uint16)
+            for x in range(stride):
+                a = rec[x - c] if x >= c else 0  # left
+                b = prior[x]  # up
+                if f == 1:
+                    pred = a
+                elif f == 3:
+                    pred = (int(a) + int(b)) >> 1
+                else:
+                    cc = prior[x - c] if x >= c else 0  # up-left
+                    p = int(a) + int(b) - int(cc)
+                    pa, pb, pc = abs(p - int(a)), abs(p - int(b)), abs(p - int(cc))
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else cc)
+                rec[x] = (row[x] + pred) & 0xFF
+        else:
+            raise NotImplementedError(f"PNG filter type {f} invalid")
+        img[y] = rec
+        prior = rec
+    return img.astype(np.uint8).reshape(h, w, c)
+
+
 def encode_ppm(img: np.ndarray) -> bytes:
     """(H, W, 3|1) uint8 → binary PPM/PGM bytes (the re-encode side of
     :func:`resize_images`)."""
@@ -139,6 +222,8 @@ def decode_image(payload: bytes) -> np.ndarray:
         return decode_pnm(payload)
     if payload[:2] == b"BM":
         return decode_bmp(payload)
+    if payload[:8] == _PNG_MAGIC:
+        return decode_png(payload)
     try:  # optional richer codecs when the library exists
         from PIL import Image  # noqa: PLC0415
 
@@ -147,7 +232,7 @@ def decode_image(payload: bytes) -> np.ndarray:
         pass
     raise NotImplementedError(
         f"unsupported image format (magic {payload[:4]!r}); this container "
-        "decodes PPM/PGM/BMP natively — JPEG/PNG need PIL"
+        "decodes PPM/PGM/BMP/PNG natively — JPEG needs PIL"
     )
 
 

@@ -10,6 +10,8 @@ a threshold instead of top-k.
 
 from __future__ import annotations
 
+import logging
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, Window
@@ -217,16 +219,42 @@ def embedding_near_duplicates(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     threshold: float = 0.95,
+    k: int = 1000,
+    warn_on_truncation: bool = True,
     **lsh_kwargs,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs (a < b, cosine ≥ threshold) via the
-    LSH candidate path."""
-    nn = lsh_cosine_topk(df, vec_col, id_col, k=1000, **lsh_kwargs)
-    return (
-        nn.where(
-            (F.col("cosine") >= threshold)
-            & (F.col("query_id") < F.col("neighbor_id"))
+    LSH candidate path.
+
+    ``k`` caps the neighbors considered PER QUERY: a duplicate cluster
+    larger than ``k`` loses pairs (its members each report only their
+    ``k`` nearest). By default a saturating query triggers a one-time
+    warning (one extra small aggregation over the candidate frame —
+    disable with ``warn_on_truncation=False`` and raise ``k`` instead
+    when clusters are expected to be huge). No silent caps.
+    """
+    nn = lsh_cosine_topk(df, vec_col, id_col, k=k, **lsh_kwargs)
+    above = nn.where(F.col("cosine") >= threshold)
+    if warn_on_truncation:
+        # persisted so the saturation count and the returned pairs share
+        # one candidate computation; left cached for the caller's action
+        # (LRU-evicted — bounded by the candidate frame, not the corpus)
+        above = above.persist()
+        saturated = (
+            above.groupBy("query_id")
+            .agg(F.count("*").alias("_nn"))
+            .where(F.col("_nn") >= k)
+            .count()
         )
+        if saturated:
+            logging.getLogger("propagon_spark.similarity").warning(
+                "embedding_near_duplicates: %d quer%s returned the full "
+                "k=%d neighbors above threshold=%.3f — duplicate clusters "
+                "larger than k are TRUNCATED; raise k to cover them",
+                saturated, "y" if saturated == 1 else "ies", k, threshold,
+            )
+    out = (
+        above.where(F.col("query_id") < F.col("neighbor_id"))
         .select(
             F.col("query_id").alias("a"),
             F.col("neighbor_id").alias("b"),
@@ -234,3 +262,4 @@ def embedding_near_duplicates(
         )
         .distinct()
     )
+    return out

@@ -45,9 +45,20 @@ def birank(
     alpha: float = 1.0,
     beta: float = 1.0,
     seed: int = 2019,
+    init: str = "random",
 ) -> BiRankResult:
     """Fit BiRank on a raw (src, dst[, weight]) frame (NOT a Graph — the
-    two sides get independent id spaces)."""
+    two sides get independent id spaces).
+
+    ``init="random"`` is the reference's seeded random start
+    (``birank.rs:189-194``; deterministic here via xxhash64, but not
+    SQL-reproducible). ``init="uniform"`` starts both sides at 1.0 —
+    with no priors the sweep is pure propagation (``birank.rs:196-199``),
+    so the trajectory is a plain linear recurrence that an unrolled SQL
+    twin can reproduce exactly; this is the oracle-checkable parity mode.
+    """
+    if init not in ("random", "uniform"):
+        raise ValueError(f"init must be random|uniform, got {init!r}")
     cols = edges.columns
     w = F.col("weight").cast("double") if "weight" in cols else F.lit(1.0)
     raw = edges.select(
@@ -81,16 +92,14 @@ def birank(
     def hash01(col, s: int):
         return F.xxhash64(col, F.lit(s)) / F.lit(float(2**64)) + F.lit(0.5)
 
-    u = truncate_lineage(
-        sv.select(
-            F.col("id").alias("si"), hash01(F.col("id"), seed).alias("u")
-        )
-    )
-    p = truncate_lineage(
-        dv.select(
-            F.col("id").alias("di"), hash01(F.col("id"), seed + 1).alias("p")
-        )
-    )
+    if init == "uniform":
+        u0 = F.lit(1.0)
+        p0 = F.lit(1.0)
+    else:
+        u0 = hash01(F.col("id"), seed)
+        p0 = hash01(F.col("id"), seed + 1)
+    u = truncate_lineage(sv.select(F.col("id").alias("si"), u0.alias("u")))
+    p = truncate_lineage(dv.select(F.col("id").alias("di"), p0.alias("p")))
 
     for _ in range(iterations):
         # p ← normalized gather of u (alpha cancels with no priors)

@@ -56,6 +56,31 @@ def resample_edges(edges: DataFrame, seed: int) -> DataFrame:
     )
 
 
+def resample_edges_exact(edges: DataFrame, seed: int) -> DataFrame:
+    """Exact n-with-replacement resample — the reference's semantics
+    (``resample.rs:87-95``): exactly n draws, uniform over rows.
+
+    Parity/small-data mode: rows get a global ``row_number`` over a
+    deterministic total order (one single-partition window — the reason
+    this is not the scale default), then draw i ∈ [0, n) picks row
+    ``xxhash64(i, seed) mod n``. Hash-keyed draws are deterministic at
+    any parallelism (unlike ``rand``, whose substreams are assigned per
+    partition). The Poisson variant above is the distributed default;
+    this mode exists so bootstrap CIs can be checked golden-style.
+    """
+    n = edges.count()
+    if n == 0:
+        return edges
+    order = [F.col(c) for c in edges.columns]
+    numbered = edges.withColumn(
+        "_rn", F.row_number().over(Window.orderBy(*order)) - 1
+    )
+    draws = edges.sparkSession.range(n).select(
+        F.pmod(F.xxhash64(F.col("id"), F.lit(seed)), F.lit(n)).alias("_rn")
+    )
+    return draws.join(numbered, "_rn").drop("_rn")
+
+
 @dataclass
 class BootstrapResult:
     intervals: DataFrame  # (name, score_mean, score_lo, score_hi, rank_lo, rank_hi)
@@ -69,18 +94,26 @@ def bootstrap(
     seed: int = 42,
     lo: float = 0.025,
     hi: float = 0.975,
+    method: str = "poisson",
 ) -> BootstrapResult:
     """Fit ``fit(replicate_graph) -> (name, score) DataFrame`` on
-    ``replicates`` Poisson resamples of ``g``; return per-entity score
-    mean/CI and rank CI (percentiles over replicates).
+    ``replicates`` resamples of ``g``; return per-entity score mean/CI
+    and rank CI (percentiles over replicates).
 
     ``fit`` receives a Graph sharing ``g``'s vocab with resampled edges.
+    ``method="poisson"`` (default) is the distributed Poisson bootstrap;
+    ``method="exact"`` is the reference's exact n-draw resample
+    (``resample.rs:87-95``) — deterministic and golden-checkable, but it
+    serializes a global row numbering, so small data only.
     """
+    if method not in ("poisson", "exact"):
+        raise ValueError(f"method must be poisson|exact, got {method!r}")
+    sampler = resample_edges if method == "poisson" else resample_edges_exact
     all_scores = None
     for r in range(replicates):
         rg = Graph(
             vocab=g.vocab,
-            edges=resample_edges(g.edges, seed + r),
+            edges=sampler(g.edges, seed + r),
             num_vertices=g.num_vertices,
             num_edge_rows=g.num_edge_rows,
         )

@@ -93,9 +93,15 @@ def harmonic(
     else:
         # weight = length; strictly positive and finite or typed error
         # naming the edge (harmonic.rs:219-236)
+        # NULL needs an explicit test (NULL <= 0 is NULL, not true) and
+        # +inf passes a <=0 check — both violate "strictly positive and
+        # finite" and would otherwise silently drop from the min-agg
         bad = (
             g.edges.where(
-                (F.col("weight") <= 0.0) | F.isnan("weight")
+                F.col("weight").isNull()
+                | (F.col("weight") <= 0.0)
+                | F.isnan("weight")
+                | (F.col("weight") == float("inf"))
             )
             .limit(1)
             .collect()

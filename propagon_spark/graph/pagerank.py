@@ -236,7 +236,10 @@ def pagerank(
         .persist(_STORAGE)
     )
     vstat.count()
-    scatter.count()  # materialize the persisted scatter inside "setup"
+    # materialize the persisted scatter inside "setup"; row count = the
+    # canonicalized edges actually processed per iteration (scaling harness
+    # reads it from timings instead of re-running the distinct)
+    n_scatter = scatter.count()
 
     # ---- init / resume -------------------------------------------------
     ckpt: CheckpointManager | None = None
@@ -334,12 +337,18 @@ def pagerank(
     # exit, pagerank.rs:104-105) chains lazy steps into one Spark job;
     # chain length is bounded by how many times each step's plan
     # references `ranks` (plan size ~ refs^chain). Convergence mode
-    # chains too, checking the CHAIN-step L1 delta ||p_{t+C} − p_t||₁
-    # against tol: a C-step delta upper-bounds the single-step delta, so
-    # stopping is strictly conservative (≤ C−1 extra power steps) while
-    # cutting jobs — and with them shuffle rounds and lineage
-    # materializations — by C×. The `all` sink stays at 1 (its step
-    # already references `ranks` 3×).
+    # chains too, but the stop test is the TRUE single-step delta
+    # ||p_{t+C} − p_{t+C−1}||₁: the last chained step carries its own
+    # `old` (one extra reference on the final step only). A chain-START
+    # delta would be unsound — when the damped matrix has a negative
+    # second eigenvalue (near-bipartite structure) consecutive deltas
+    # alternate sign and partially cancel, so ||p_{t+C} − p_t||₁ can be
+    # several times SMALLER than the current single-step delta and stop
+    # early while the reference's criterion is still above tol. Chaining
+    # still cuts jobs — and with them shuffle rounds and lineage
+    # materializations — by C×; worst case it overshoots convergence by
+    # ≤ C−1 power steps. The `all` sink stays at 1 (its step already
+    # references `ranks` 3×).
     refs = {"none": 1, "reverse": 1, "uniform": 2, "all": 3}[sink]
     if tol is not None:
         chain = {1: 4, 2: 3, 3: 1}[refs]
@@ -348,8 +357,8 @@ def pagerank(
     converged = False
     it = start_iter
     last_ckpt = start_iter
-    timings = {"kernel": "join", "setup_s": time.monotonic() - t_setup,
-               "iterate_s": 0.0}
+    timings = {"kernel": "join", "edge_rows": n_scatter,
+               "setup_s": time.monotonic() - t_setup, "iterate_s": 0.0}
 
     while it < total_iters:
         t0 = time.monotonic()
@@ -357,16 +366,9 @@ def pagerank(
         need_delta = tol is not None
         cur = ranks
         for k in range(steps):
-            # single-step delta rides the step's own `old`; a chained
-            # delta joins back to the chain-start frame below instead
-            cur = step(cur, with_old=need_delta and steps == 1 and k == steps - 1)
-        if need_delta and steps > 1:
-            cur = cur.join(
-                ranks.select("id", F.col("rank").alias("old")).hint(
-                    "shuffle_hash"
-                ),
-                "id",
-            )
+            # the final step carries the previous rank as `old`, giving
+            # the single-step delta the reference's criterion tests
+            cur = step(cur, with_old=need_delta and k == steps - 1)
 
         # materialize + truncate lineage every loop turn — without
         # truncation the logical plan compounds per iteration. Convergence

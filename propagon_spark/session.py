@@ -9,9 +9,24 @@ lineage truncation in driver-controlled iteration loops.
 from __future__ import annotations
 
 import os
+import shutil
 import tempfile
 
 from pyspark.sql import SparkSession
+
+
+def _default_driver_mem() -> str:
+    """min(48g, ~60% of MemTotal): big enough for cores × per-task
+    hash-agg/join state on the bench box (8g starved 32 threads over a
+    222M-row graph), without promising a heap a smaller host cannot
+    back — JVM heap, tmpfs shuffle spill and RAM-backed checkpoints all
+    compete for the same physical memory. PROPAGON_DRIVER_MEM wins."""
+    try:
+        with open("/proc/meminfo") as f:
+            kb = int(next(ln for ln in f if ln.startswith("MemTotal")).split()[1])
+        return f"{max(2, min(48, int(kb * 0.6 / 1024 / 1024)))}g"
+    except Exception:  # non-Linux — let the user size it
+        return "4g"
 
 
 def get_spark(
@@ -53,12 +68,21 @@ def get_spark(
     # prefer tmpfs when it exists. On a real cluster spark.local.dir is
     # the node-local SSD set by the cluster manager — the env override
     # wins everywhere.
+    # tmpfs only when it can comfortably hold the scratch footprint —
+    # on a small host "spill to /dev/shm" is spill to RAM and can OOM
+    # the machine (and tmpfs contents are lost on reboot)
     local_dir = os.environ.get("PROPAGON_LOCAL_DIR")
     if local_dir is None:
         shm = "/dev/shm"
+        shm_ok = os.path.isdir(shm) and os.access(shm, os.W_OK)
+        if shm_ok:
+            try:
+                shm_ok = shutil.disk_usage(shm).free >= 16 * 2**30
+            except OSError:
+                shm_ok = False
         local_dir = (
             os.path.join(shm, "propagon_spark_local")
-            if os.path.isdir(shm) and os.access(shm, os.W_OK)
+            if shm_ok
             else os.path.join(tempfile.gettempdir(), "propagon_spark_local")
         )
     os.makedirs(local_dir, exist_ok=True)
@@ -75,9 +99,12 @@ def get_spark(
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         # local mode runs every task thread inside the driver JVM: size the
         # heap for cores × per-task hash-agg/join state or large distincts
-        # spill on arrival (8g starved 32 threads over a 222M-row graph).
-        # Lazily committed — small jobs don't actually take 48g of RSS.
-        .config("spark.driver.memory", os.environ.get("PROPAGON_DRIVER_MEM", "48g"))
+        # spill on arrival. Lazily committed — small jobs don't take the
+        # full heap in RSS; capped at ~60% of system RAM (_default_driver_mem).
+        .config(
+            "spark.driver.memory",
+            os.environ.get("PROPAGON_DRIVER_MEM", _default_driver_mem()),
+        )
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.executorEnv.PYTHONPATH", os.environ["PYTHONPATH"])

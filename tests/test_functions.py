@@ -190,3 +190,29 @@ def test_embedding_near_duplicates_planted(spark):
     assert all(r["cosine"] >= 0.95 for r in out)
     # random 16-dim gaussians sit near 90 deg — no spurious pairs
     assert found == planted
+
+
+def test_embedding_near_duplicates_k_cap_exposed(spark, caplog):
+    # a duplicate cluster LARGER than k loses pairs — the cap is exposed
+    # and saturation triggers a warning (no-silent-caps rule); a big
+    # enough k recovers the full clique
+    import logging as _logging
+
+    import numpy as np
+
+    from propagon_spark.functions.similarity import embedding_near_duplicates
+
+    rng = np.random.RandomState(5)
+    v = rng.standard_normal(16)
+    rows = [(i, [float(x) for x in v]) for i in range(8)]  # 8-clique
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    with caplog.at_level(_logging.WARNING, logger="propagon_spark.similarity"):
+        capped = embedding_near_duplicates(
+            df, threshold=0.95, k=3, num_planes=4, num_tables=4
+        ).collect()
+    assert any("TRUNCATED" in r.message for r in caplog.records)
+    assert len(capped) < 28  # full 8-clique has C(8,2)=28 pairs
+    full = embedding_near_duplicates(
+        df, threshold=0.95, k=10, num_planes=4, num_tables=4
+    ).collect()
+    assert len(full) == 28
