@@ -231,6 +231,29 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lang_id(_doc(spark, sf_dir)).select("doc_id", "lang_pred")
 
 
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # LLM-pipeline quality scoring — pure Catalyst arithmetic, exact twin
+    from propagon_spark.functions.text import quality_features
+
+    out = quality_features(_doc(spark, sf_dir))
+    return out.select(
+        "doc_id",
+        F.col("n_tokens"),
+        F.round("mean_token_len", 9).alias("mean_token_len"),
+        F.round("punct_ratio", 9).alias("punct_ratio"),
+        F.round("stopword_ratio", 9).alias("stopword_ratio"),
+        F.round("quality_score", 9).alias("quality_score"),
+    )
+
+
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Karp-Rabin rolling-hash min-sketch: int64-wrapping polynomial hash
+    # has no practical SQL twin ⇒ rows-only (deterministic across runs)
+    from propagon_spark.functions.text import fingerprint
+
+    return fingerprint(_doc(spark, sf_dir)).select("doc_id", "fingerprint")
+
+
 def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from propagon_spark.functions.similarity import cosine_topk
 
@@ -462,6 +485,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "text_stats": q_text_stats,
         "lang_id": q_lang_id,
+        "quality_score": q_quality_score,
+        "doc_fingerprint": q_fingerprint,
         "ann_cosine_topk": q_ann_cosine_topk,
         "embedding_neardup": q_embedding_neardup,
         "pagerank_conv60": q_pagerank_conv60,
@@ -960,6 +985,31 @@ FROM documents GROUP BY 1""",
   END AS n_tokens,
   CAST(length(text) AS BIGINT) AS n_chars_t
 FROM documents""",
+        "quality_score": rf"""WITH base AS (
+    SELECT doc_id, text, lower(text) AS p,
+           CAST(length(text) AS BIGINT) AS n_chars,
+           CASE WHEN trim(text) = '' THEN 0
+                ELSE CAST(array_length(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+           END AS n_tokens,
+           length(text) - length(regexp_replace(text, '[\.,;:!\?]', '', 'g')) AS n_punct,
+           length(regexp_replace(text, '[^A-Z]', '', 'g')) AS n_upper
+    FROM documents),
+feat AS (
+    SELECT doc_id, n_tokens,
+           CASE WHEN n_tokens > 0 THEN CAST(n_chars AS DOUBLE)/n_tokens ELSE 0.0 END AS mean_token_len,
+           CASE WHEN n_chars > 0 THEN CAST(n_punct AS DOUBLE)/n_chars ELSE 0.0 END AS punct_ratio,
+           CASE WHEN n_chars > 0 THEN CAST(n_upper AS DOUBLE)/n_chars ELSE 0.0 END AS upper_ratio,
+           CASE WHEN n_tokens > 0 THEN CAST(({_marker_count_sql([' the ', ' and ', ' of '])}) AS DOUBLE)/n_tokens ELSE 0.0 END AS stopword_ratio
+    FROM base)
+SELECT doc_id, n_tokens,
+       ROUND(mean_token_len, 9) AS mean_token_len,
+       ROUND(punct_ratio, 9) AS punct_ratio,
+       ROUND(stopword_ratio, 9) AS stopword_ratio,
+       ROUND(least(CAST(n_tokens AS DOUBLE)/100.0, 1.0)*0.4
+             + least(stopword_ratio*5.0, 1.0)*0.3
+             + (1.0 - least(punct_ratio*10.0, 1.0))*0.2
+             + (1.0 - least(upper_ratio*5.0, 1.0))*0.1, 9) AS quality_score
+FROM feat""",
         "lang_id": f"""WITH padded AS (
     SELECT doc_id, concat(' ', lower(text), ' ') AS p FROM documents),
 scores AS (SELECT doc_id, {lang_scores} FROM padded)

@@ -51,12 +51,16 @@ def test_weighted_parallel_edges_take_min(spark):
     g.unpersist()
 
 
-@pytest.mark.parametrize("bad", [0.0, -1.0])
+@pytest.mark.parametrize(
+    "bad", [0.0, -1.0, float("nan"), float("inf"), None]
+)
 def test_non_positive_weight_is_invalid(spark, bad):
-    # harmonic.rs:477-489 — typed error naming the edge
-    g = Graph.from_edges(
-        make_edges(spark, [("a", "b", bad)], weights=True), weight="weight"
-    )
+    # harmonic.rs:477-489 — typed error naming the edge. NULL and +inf
+    # need explicit predicates (NULL <= 0 is NULL; inf passes <= 0) —
+    # without them the edge silently drops from the min-weight agg.
+    rows = [("a", "b", bad)]
+    e = spark.createDataFrame(rows, "src string, dst string, weight double")
+    g = Graph.from_edges(e, weight="weight")
     with pytest.raises(InvalidParameterError, match="a → b"):
         harmonic(g, "in", cost="weight")
     g.unpersist()
