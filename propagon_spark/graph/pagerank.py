@@ -168,15 +168,28 @@ def pagerank(
     # persist the canonicalized frame: the setup passes that follow
     # (out-degrees, block/scatter build, sink detection) would otherwise
     # each re-run the full-width distinct over the raw edge table
-    edges = dedup_edges(g.edges)
-    if sink == "reverse":
-        edges = _reverse_rewrite(edges)
+    use_csr = impl == "csr" or (impl == "auto" and n <= csr_max_vertices)
+    # Join kernel (no reverse rewrite): fold the dedup INTO the scatter
+    # partitioning — repartition by src FIRST, then distinct. A hash
+    # partitioning on src satisfies the (src, dst) clustering the dedup
+    # aggregate requires, so the frame is deduplicated AND scatter-ready
+    # after ONE exchange of the edge data, replacing distinct's
+    # (src, dst) exchange plus a separate scatter repartition (verified
+    # plan-level: no Exchange between the repartition, the dedup
+    # HashAggregate, the out-degree agg, and the scatter join).
+    pre_partitioned = not use_csr and sink != "reverse"
+    if pre_partitioned:
+        edges = g.edges.select("src", "dst").repartition(nparts, "src").distinct()
+    else:
+        edges = dedup_edges(g.edges)
+        if sink == "reverse":
+            edges = _reverse_rewrite(edges)
     edges = edges.persist(_STORAGE)
 
     # validate seeds up front (shared by both kernels)
     _teleport_frame(g, seeds)
 
-    if impl == "csr" or (impl == "auto" and n <= csr_max_vertices):
+    if use_csr:
         try:
             return _run_csr(
                 g, edges, damping=damping, sink=sink, seeds=seeds, tol=tol,
@@ -220,6 +233,9 @@ def pagerank(
             .persist(_STORAGE)
         )
         salt_df = spark.range(hub_salts).select(F.col("id").cast("int").alias("salt"))
+    elif pre_partitioned:
+        # already hash-partitioned by src (dedup rode the same exchange)
+        scatter = scatter_base.persist(_STORAGE)
     else:
         scatter = scatter_base.repartition(nparts, "src").persist(_STORAGE)
 
