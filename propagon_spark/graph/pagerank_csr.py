@@ -266,12 +266,20 @@ def _gather_factory(n: int, nblocks: int, ext: str, rank_bc, token: str):
     ``dst % nblocks``); buckets partition the dst space, so each dst is
     owned by exactly one task and the driver can assign (not add) the
     collected partials. Shards hold bucket-local dst indices, so the
-    accumulator is ceil(n/nblocks) doubles — cache-resident."""
+    accumulator is ceil(n/nblocks) doubles — cache-resident.
+
+    The task returns its accumulator as ONE dense float64 buffer per
+    bucket (~n/nblocks · 8 bytes), not (dst, m) rows: an n-row Arrow
+    collect plus pandas frame construction was ~1 s of per-iteration
+    FIXED cost at n=10⁶ (measured — the serial term that capped N→4N
+    efficiency once the block write scaled); 32 binary rows assemble on
+    the driver with strided numpy assignment instead."""
     nlocal = (n + nblocks - 1) // nblocks
 
     def gather(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         pdiv = rank_bc.value  # p·inv_out, division pre-folded on driver
         for pdf in batches:
+            out_b, out_buf = [], []
             for bucket, paths in zip(pdf["bucket"], pdf["paths"]):
                 acc = np.zeros(nlocal)
                 for path in paths.split(";"):
@@ -281,14 +289,10 @@ def _gather_factory(n: int, nblocks: int, ext: str, rank_bc, token: str):
                     acc += np.bincount(
                         dstl, weights=pdiv[src], minlength=nlocal
                     )
-                nz = np.nonzero(acc)[0]
-                if len(nz):
-                    yield pd.DataFrame(
-                        {
-                            "dst": nz.astype("int64") * nblocks + int(bucket),
-                            "m": acc[nz],
-                        }
-                    )
+                out_b.append(int(bucket))
+                out_buf.append(acc.tobytes())
+            if out_b:
+                yield pd.DataFrame({"bucket": out_b, "buf": out_buf})
 
     return gather
 
@@ -483,12 +487,19 @@ def pagerank_csr(
         timings["bcast_s"] += t_b - t0
         partials = blocks.mapInPandas(
             _gather_factory(n, nblocks, ext, rank_bc, token),
-            schema="dst long, m double",
-        ).toPandas()
+            schema="bucket int, buf binary",
+        ).collect()
         t_g = time.monotonic()
         timings["gather_s"] += t_g - t_b
+        # bucket b owns global ids {b, b+nblocks, ...}: local index i maps
+        # to global b + i·nblocks, so each buffer lands as one strided
+        # numpy assignment — no row decode, no join
         gathered = np.zeros(n)
-        gathered[partials["dst"].to_numpy()] = partials["m"].to_numpy()
+        for row in partials:
+            b = row["bucket"]
+            buf = np.frombuffer(row["buf"], dtype=np.float64)
+            take = len(gathered[b::nblocks])
+            gathered[b::nblocks] = buf[:take]
         rank_bc.destroy()
 
         s_mass = float(p[sink_ids].sum()) if len(sink_ids) else 0.0
