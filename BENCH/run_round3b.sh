@@ -11,6 +11,8 @@ LOG=BENCH/round3_suite.log
   echo "=== csr 2x8 (binary gather) done $(date)"
   python3 BENCH/scaling.py synth 8 32 1 csr
   echo "=== csr 8x32 done $(date)"
+  python3 BENCH/scaling.py synth-small 2 8 1 join
+  echo "=== join 2x8 rerun (timings, idle host) done $(date)"
   python3 BENCH/scaling.py synth 8 32 1 join
   echo "=== join 8x32 done $(date)"
   python3 BENCH/report.py

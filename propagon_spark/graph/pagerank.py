@@ -463,6 +463,7 @@ def pagerank(
         iterations=it,
         converged=converged if tol is not None else True,
         metrics=metrics,
+        timings=timings,
     )
 
 
