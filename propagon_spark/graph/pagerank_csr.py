@@ -418,9 +418,17 @@ def pagerank_csr(
     block_rows = [
         (b, ";".join(sorted(ps))) for b, ps in sorted(by_bucket.items())
     ]
+    # coalesce, NOT repartition: a repartition is an Exchange, which made
+    # every iteration's job a TWO-stage AQE plan (materialize 32 rows,
+    # re-optimize, schedule stage 2) — pure fixed cost in the hot loop.
+    # createDataFrame already spreads local rows across defaultParallelism
+    # slices with no shuffle; coalesce merges the empties when the
+    # session is wider than the bucket count.
     blocks = spark.createDataFrame(
         block_rows, "bucket int, paths string"
-    ).repartition(max(1, min(len(block_rows), sc.defaultParallelism)))
+    ).coalesce(max(1, min(len(block_rows), sc.defaultParallelism)))
+    blocks = blocks.persist(StorageLevel.MEMORY_ONLY)
+    blocks.count()
     t_blocks = time.monotonic()
 
     # driver-held vertex state ------------------------------------------
@@ -540,6 +548,7 @@ def pagerank_csr(
             converged = True
             break
 
+    blocks.unpersist()
     _hadoop_rm(spark, blocks_dir)
     return p, it, converged, metrics, timings
 
