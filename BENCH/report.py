@@ -115,7 +115,16 @@ Per-phase wall time:
 {phase_rows(lo, hi, factor)}
 """)
 
-    md.append("""## Reading the numbers
+    md.append("""## Measurement caveats
+
+Each section reports its own repeats count. Wall-clock pressure forced
+repeats=1 on some pairs; single runs on a shared host carry noise, and a
+worker launched right after another JVM exits can start under decaying
+residual load — `loadavg_at_start` is recorded per level so every run's
+conditions are auditable. Best-of-2 fits inside each worker absorbs
+JIT/warm-up one-sided effects either way.
+
+## Reading the numbers
 
 The csr fit has no shuffle and no join anywhere: setup is one distinct
 (the only exchange, inherent to dedup semantics) plus a parallel
