@@ -734,7 +734,15 @@ def _filter_min_count_sql(min_count: int, rounds: int) -> str:
     recursion step (HAVING over the multigraph incidence self-join),
     ``rounds`` rounds (no-ops once the cascade converges); final rows =
     pairwise rows whose both endpoints survive round ``rounds``. Mirrors
-    tally.filter_min_count / pairwise.rs:213-256."""
+    tally.filter_min_count / pairwise.rs:213-256.
+
+    Saturation guard: ``rounds`` is calibrated to the sf0.01 cascade
+    depth (5), and a deeper cascade at a larger scale factor would make
+    this fixed-round oracle silently disagree with the library's
+    run-to-fixpoint loop. The trailing sentinel UNION emits a marker row
+    whenever round ``rounds`` still differs from round ``rounds-1`` —
+    a non-converged oracle now reports as a LOUD row-count/hash mismatch
+    naming the fix (raise _FMC_ROUNDS), never as a plausible result."""
     return f"""WITH RECURSIVE li2 AS (SELECT l_orderkey AS grp, l_linenumber AS ln,
     concat('t:', lpad(CAST(l_partkey AS VARCHAR), 8, '0')) AS item,
     l_extendedprice AS p FROM lineitem),
@@ -755,7 +763,12 @@ surv(r, id) AS (
 SELECT p.winner, p.loser, 1.0 AS weight, CAST(0 AS BIGINT) AS period
 FROM pw p
 JOIN (SELECT id FROM surv WHERE r = {rounds}) w ON w.id = p.winner
-JOIN (SELECT id FROM surv WHERE r = {rounds}) l ON l.id = p.loser"""
+JOIN (SELECT id FROM surv WHERE r = {rounds}) l ON l.id = p.loser
+UNION ALL
+SELECT 'FMC_ORACLE_NOT_CONVERGED', 'RAISE__FMC_ROUNDS', -1.0,
+       CAST(-1 AS BIGINT)
+WHERE (SELECT count(*) FROM surv WHERE r = {rounds})
+   <> (SELECT count(*) FROM surv WHERE r = {rounds - 1})"""
 
 
 def _birank_uniform_sql(iters: int) -> str:

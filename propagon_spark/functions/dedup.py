@@ -338,6 +338,117 @@ def near_duplicate_clusters(
     return out
 
 
+# ------------------------------------------- quality eval (MinHash/SimHash)
+
+
+def _shingle_hash_arrays(k: int):
+    @pandas_udf("array<long>")
+    def sh(texts: pd.Series) -> pd.Series:
+        return pd.Series(
+            [s.astype(np.int64) for s in _shingle_set(texts, k)]
+        )
+
+    return sh
+
+
+def exact_shingle_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 5,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """EXACT character-shingle Jaccard pairs (a < b, jaccard ≥ threshold)
+    over the SAME shingle universe MinHash sketches (``_shingle_set``) —
+    the ground truth for the near-dup quality harness. Inverted-index
+    self-join with NO frequent-gram cap: O(Σ df(g)²) — run on a bounded
+    sample only (the harness below caps at ~1000 docs), never the corpus.
+    """
+    eligible = df.where(F.length(F.col(text_col)) >= shingle_k)
+    sh = _shingle_hash_arrays(shingle_k)
+    sets = eligible.select(
+        F.col(id_col).alias("id"), sh(F.col(text_col)).alias("hs")
+    )
+    sizes = sets.select("id", F.size("hs").alias("sz"))
+    inv = sets.select("id", F.explode("hs").alias("g"))
+    pairs = (
+        inv.alias("x")
+        .join(inv.alias("y"), "g")
+        .where(F.col("x.id") < F.col("y.id"))
+        .groupBy(F.col("x.id").alias("a"), F.col("y.id").alias("b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        pairs.join(sizes.select(F.col("id").alias("a"), F.col("sz").alias("sa")), "a")
+        .join(sizes.select(F.col("id").alias("b"), F.col("sz").alias("sb")), "b")
+        .select(
+            "a",
+            "b",
+            (
+                F.col("inter").cast("double")
+                / (F.col("sa") + F.col("sb") - F.col("inter"))
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+def neardup_quality_eval(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+    shingle_k: int = 5,
+    max_hamming: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    seed: int = 42,
+) -> dict:
+    """Realized recall/precision of the approximate near-dup paths vs the
+    EXACT shingle-Jaccard oracle (round-3 verdict item 5) — the MinHash
+    twin of :func:`similarity.ann_recall_at_k`.
+
+    Truth = exact character-shingle Jaccard ≥ ``threshold`` (the metric
+    MinHash estimates; the default 64-hash/16-band config has its LSH
+    S-curve 50%-point at (1/16)^(1/4) ≈ 0.5). SimHash is scored against
+    the SAME truth: it targets a different similarity (cosine over
+    shingle bit-votes, pairs at Hamming ≤ ``max_hamming``), so its
+    numbers read as "how much of the Jaccard-θ duplicate set does the
+    cheaper SimHash path find", not as an estimator error. O(n²) oracle —
+    pass a bounded sample (≲1000 docs), never the corpus.
+    """
+    truth = exact_shingle_jaccard_pairs(
+        df, text_col, id_col, shingle_k, threshold
+    ).select("a", "b").persist()
+    n_truth = truth.count()
+
+    mh = minhash_near_duplicates(
+        df, text_col, id_col, threshold, num_hashes, shingle_k, bands, seed
+    ).select("a", "b").persist()
+    n_mh = mh.count()
+    mh_hit = mh.join(truth, ["a", "b"], "left_semi").count()
+
+    sh = simhash_near_duplicates(
+        df, text_col, id_col, max_hamming, shingle_k
+    ).select("a", "b").persist()
+    n_sh = sh.count()
+    sh_hit = sh.join(truth, ["a", "b"], "left_semi").count()
+
+    truth.unpersist()
+    mh.unpersist()
+    sh.unpersist()
+    return {
+        "true_pairs": n_truth,
+        "threshold": threshold,
+        "minhash_pairs": n_mh,
+        "minhash_recall": mh_hit / n_truth if n_truth else 1.0,
+        "minhash_precision": mh_hit / n_mh if n_mh else 1.0,
+        "simhash_pairs": n_sh,
+        "simhash_recall": sh_hit / n_truth if n_truth else 1.0,
+        "simhash_precision": sh_hit / n_sh if n_sh else 1.0,
+    }
+
+
 # ------------------------------------------------------ n-gram jaccard
 
 

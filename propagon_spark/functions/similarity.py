@@ -229,23 +229,30 @@ def embedding_near_duplicates(
     ``k`` caps the neighbors considered PER QUERY: a duplicate cluster
     larger than ``k`` loses pairs (its members each report only their
     ``k`` nearest). By default a saturating query triggers a one-time
-    warning (one extra small aggregation over the candidate frame —
-    disable with ``warn_on_truncation=False`` and raise ``k`` instead
-    when clusters are expected to be huge). No silent caps.
+    warning. NOTE: the saturation check is an EAGER job — it runs the
+    candidate generation at call time (and the caller's own action
+    recomputes it: nothing stays cached). Pass
+    ``warn_on_truncation=False`` and raise ``k`` instead when clusters
+    are expected to be huge or call-time work is unwanted. No silent
+    caps.
     """
     nn = lsh_cosine_topk(df, vec_col, id_col, k=k, **lsh_kwargs)
     above = nn.where(F.col("cosine") >= threshold)
     if warn_on_truncation:
-        # persisted so the saturation count and the returned pairs share
-        # one candidate computation; left cached for the caller's action
-        # (LRU-evicted — bounded by the candidate frame, not the corpus)
+        # persist only for the duration of the saturation count, then
+        # release: leaving it cached for the caller's action leaked one
+        # candidate frame per call into the LRU (round-3 verdict). The
+        # caller's action recomputes the candidates — documented above.
         above = above.persist()
-        saturated = (
-            above.groupBy("query_id")
-            .agg(F.count("*").alias("_nn"))
-            .where(F.col("_nn") >= k)
-            .count()
-        )
+        try:
+            saturated = (
+                above.groupBy("query_id")
+                .agg(F.count("*").alias("_nn"))
+                .where(F.col("_nn") >= k)
+                .count()
+            )
+        finally:
+            above.unpersist(blocking=False)
         if saturated:
             logging.getLogger("propagon_spark.similarity").warning(
                 "embedding_near_duplicates: %d quer%s returned the full "

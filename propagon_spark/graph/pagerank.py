@@ -39,6 +39,7 @@ from __future__ import annotations
 
 import logging
 import math
+import os
 import time
 import uuid
 from dataclasses import dataclass, field
@@ -179,6 +180,32 @@ def pagerank(
     # HashAggregate, the out-degree agg, and the scatter join).
     pre_partitioned = not use_csr and sink != "reverse"
     if pre_partitioned:
+        # SKEW GUARD: folding dedup into the src repartition removes the
+        # partial aggregation that would otherwise collapse duplicate
+        # rows BEFORE the exchange, and hash(src) clustering puts a hub's
+        # ENTIRE raw edge set into one dedup task (hub salting only
+        # protects the downstream scatter join). g.edges is already
+        # hash-partitioned by src (core.py), so its partition sizes are a
+        # faithful preview of the post-repartition layout: probe them
+        # with one cheap partial-agg job over the cached frame and fall
+        # back to dedup-then-repartition (balanced (src,dst) exchange
+        # with map-side combine, one extra exchange of DEDUP'D rows) when
+        # one partition dominates — the power-law-hub regression risk on
+        # the common PageRank input.
+        # probe only when a >5M-row partition is even possible — the
+        # count(*) scan over the cached frame is wasted work below that
+        if g.num_edge_rows > 5_000_000:
+            psizes = [
+                r["cnt"]
+                for r in g.edges.groupBy(F.spark_partition_id().alias("_p"))
+                .agg(F.count("*").alias("cnt"))
+                .collect()
+            ]
+            pmax = max(psizes, default=0)
+            pmean = (sum(psizes) / len(psizes)) if psizes else 0.0
+            if pmax > 4 * pmean and pmax > 5_000_000:
+                pre_partitioned = False
+    if pre_partitioned:
         edges = g.edges.select("src", "dst").repartition(nparts, "src").distinct()
     else:
         edges = dedup_edges(g.edges)
@@ -280,19 +307,14 @@ def pagerank(
             "id", F.col("v").alias("rank"), "is_sink"
         ))
 
-    def step(ranks: DataFrame, with_old: bool) -> DataFrame:
-        """One lazy power-iteration step.
+    def gather_frame(ranks: DataFrame) -> DataFrame:
+        """Scatter + gather — the edge-heavy half of one step: (id, m).
 
-        ``with_old=True`` additionally carries the previous rank as ``old``
-        (needed for the L1 delta and the ``all`` sink's self-exclusion);
-        every reference to ``ranks`` in the step plan multiplies the plan
-        size when steps are chained, so the parity path keeps references
-        to a minimum.
+        Shuffle-hash joins: the ranks side is a vertex-sized frame, and
+        broadcasting it every iteration is a serial driver collect that
+        caps scaling; a hash exchange of the small side is parallel and
+        the big edge side stays put.
         """
-        # scatter + gather — shuffle-hash joins: the ranks side is a
-        # vertex-sized frame, and broadcasting it every iteration is a
-        # serial driver collect that caps scaling; a hash exchange of the
-        # small side is parallel and the big edge side stays put
         r = ranks.withColumnRenamed("id", "src").select("src", "rank").hint(
             "shuffle_hash"
         )
@@ -303,10 +325,34 @@ def pagerank(
             contrib = scatter.join(r, ["src", "salt"])
         else:
             contrib = scatter.join(r, "src")
-        gathered = contrib.groupBy(F.col("dst").alias("id")).agg(
+        return contrib.groupBy(F.col("dst").alias("id")).agg(
             F.sum(F.col("rank") * F.col("inv")).alias("m")
         )
 
+    def update_frame(
+        ranks: DataFrame, gathered: DataFrame, with_old: bool, m_in: float
+    ) -> DataFrame:
+        """Sink redistribution + damping update over one gather result.
+
+        ``with_old=True`` additionally carries the previous rank as ``old``
+        (needed for the L1 delta and the ``all`` sink's self-exclusion);
+        every reference to ``ranks`` in the step plan multiplies the plan
+        size when steps are chained, so references are kept to a minimum:
+        the sink-mass scalar is derived from the GATHER OUTPUT as
+        S = M − Σm (Σ over all vertices of the gathered mass is exactly
+        the total rank of non-sink vertices), not from a second full
+        reference to ``ranks``. ``m_in`` is the total mass M at step
+        start, tracked analytically on the driver (both redistributing
+        sinks conserve mass as M' = d·M + (1−d)·Σv with Σv = 1) and
+        re-anchored to the OBSERVED mass at every materialization — the
+        FP deviation vs the reference's direct sink-rank sum is ~1e-15
+        per chain, far inside the 1e-6 parity contract
+        (pagerank.rs:194-218). This halves per-step plan refs for the
+        ``uniform`` sink (2→1) so chained-plan size grows linearly, not
+        2^C; the aggregate itself reuses the gather exchange
+        (ReusedExchange), so it costs one vertex-sized scan, not a second
+        edge pass.
+        """
         joined = vstat.join(gathered.hint("shuffle_hash"), "id", "left")
         if with_old or sink == "all":
             joined = joined.join(
@@ -316,12 +362,9 @@ def pagerank(
                 "id",
             )
         if sink in ("uniform", "all"):
-            # sink-mass scalar folded into the plan as a broadcast 1-row
-            # aggregate — no driver action per iteration
-            s_df = ranks.agg(
-                F.sum(
-                    F.when(F.col("is_sink"), F.col("rank")).otherwise(0.0)
-                ).alias("_smass")
+            # 1-row broadcast aggregate — no driver action per iteration
+            s_df = gathered.agg(
+                (F.lit(m_in) - F.sum("m")).alias("_smass")
             )
             joined = joined.crossJoin(F.broadcast(s_df))
             if sink == "uniform":
@@ -348,107 +391,181 @@ def pagerank(
             ).alias("rank"),
         )
 
+    def step(ranks: DataFrame, with_old: bool, m_in: float) -> DataFrame:
+        """One lazy power-iteration step."""
+        return update_frame(ranks, gather_frame(ranks), with_old, m_in)
+
     total_iters = iterations if tol is None else max_iterations
     # Parity mode (reference semantics: fixed iteration budget, no early
     # exit, pagerank.rs:104-105) chains lazy steps into one Spark job;
     # chain length is bounded by how many times each step's plan
-    # references `ranks` (plan size ~ refs^chain). Convergence mode
-    # chains too, but the stop test is the TRUE single-step delta
+    # references the previous iterate (LOGICAL plan size ~ refs^chain —
+    # Catalyst planning is driver-serial, so oversized plans become
+    # per-job fixed cost; at RUNTIME the duplicated gather subtree is
+    # deduplicated by ReuseExchange, so the edge pass runs once per step
+    # regardless). refs: 1 for none/reverse (gather only), 2 for uniform
+    # (gather + the sink-mass aggregate over it), 3 for `all` (+ the
+    # `old` join). Convergence mode chains ADAPTIVELY: the first two
+    # turns run single steps to measure the L1 decay rate, then each turn
+    # runs min(chain_max, predicted-steps-to-tol) — amortizing the
+    # per-job fixed cost (Catalyst planning, scheduling, lineage
+    # materialization; measured ~dominant at wide parallelism) while
+    # bounding convergence overshoot by the prediction error instead of a
+    # fixed C−1. The stop test stays the TRUE single-step delta
     # ||p_{t+C} − p_{t+C−1}||₁: the last chained step carries its own
     # `old` (one extra reference on the final step only). A chain-START
     # delta would be unsound — when the damped matrix has a negative
     # second eigenvalue (near-bipartite structure) consecutive deltas
     # alternate sign and partially cancel, so ||p_{t+C} − p_t||₁ can be
     # several times SMALLER than the current single-step delta and stop
-    # early while the reference's criterion is still above tol. Chaining
-    # still cuts jobs — and with them shuffle rounds and lineage
-    # materializations — by C×; worst case it overshoots convergence by
-    # ≤ C−1 power steps. The `all` sink stays at 1 (its step already
-    # references `ranks` 3×).
+    # early while the reference's criterion is still above tol.
     refs = {"none": 1, "reverse": 1, "uniform": 2, "all": 3}[sink]
-    if tol is not None:
-        chain = {1: 4, 2: 3, 3: 1}[refs]
-    else:
-        chain = {1: 8, 2: 3, 3: 1}[refs]
+    chain_max = int(
+        os.environ.get("PROPAGON_JOIN_CHAIN", "0")
+    ) or {1: 8, 2: 4, 3: 1}[refs]
     converged = False
     it = start_iter
     last_ckpt = start_iter
+    # analytic mass at chain start: redistributing sinks conserve
+    # M' = d·M + (1−d); re-anchored to the observed mass each turn
+    mass_cur = float(metrics[-1]["mass"]) if metrics else 1.0
+    prev_l1: float | None = None
+    rate: float | None = None
+    # PROPAGON_JOIN_PHASES=1: diagnostic mode for scaling audits — forces
+    # single steps and materializes the gather output separately so the
+    # per-iteration wall splits into gather (edge-heavy scatter join +
+    # agg) vs update (vstat join + sink term + lineage truncation), plus
+    # a trivial-job sample of the per-job fixed cost. Production runs pay
+    # none of this.
+    diag = os.environ.get("PROPAGON_JOIN_PHASES") == "1"
     timings = {"kernel": "join", "edge_rows": n_scatter,
                "setup_s": time.monotonic() - t_setup, "iterate_s": 0.0}
+    # AQE off for the loop: every chained job re-plans each exchange as a
+    # separate adaptive query stage (serial driver work per iteration)
+    # and its partition coalescing breaks the pinned nparts partitioning
+    # that makes the vstat join exchange-free. Skew is already handled
+    # explicitly (hub salting above); AQE returns for the final scores.
+    aqe_key = "spark.sql.adaptive.enabled"
+    aqe_old = spark.conf.get(aqe_key, "true")
+    spark.conf.set(aqe_key, "false")
+    if diag:
+        t_f = time.monotonic()
+        spark.range(nparts * 1000).repartition(nparts, "id").count()
+        timings["fixed_job_s"] = time.monotonic() - t_f
+        timings["iterate_gather_s"] = 0.0
+        timings["iterate_update_s"] = 0.0
 
-    while it < total_iters:
-        t0 = time.monotonic()
-        steps = min(chain, total_iters - it)
-        need_delta = tol is not None
-        cur = ranks
-        for k in range(steps):
-            # the final step carries the previous rank as `old`, giving
-            # the single-step delta the reference's criterion tests
-            cur = step(cur, with_old=need_delta and k == steps - 1)
+    try:
+        while it < total_iters:
+            t0 = time.monotonic()
+            need_delta = tol is not None
+            if tol is None:
+                steps = min(chain_max, total_iters - it)
+            elif diag or prev_l1 is None or rate is None:
+                steps = 1  # first two turns calibrate the decay rate
+            elif not (0.0 < rate < 1.0):
+                steps = chain_max  # not decaying: amortize fixed cost
+            else:
+                need = math.log(tol / prev_l1) / math.log(rate)
+                steps = max(1, min(chain_max, math.ceil(need)))
+            steps = min(steps, total_iters - it)
 
-        # materialize + truncate lineage every loop turn — without
-        # truncation the logical plan compounds per iteration. Convergence
-        # metrics ride along as observed aggregates of the SAME job
-        # (CollectMetrics), so each iteration is exactly one Spark job.
-        obs = Observation()
-        if need_delta:
-            new_ranks = truncate_lineage(
-                cur.select(
-                    "id", "rank", "is_sink",
-                    F.abs(F.col("rank") - F.col("old")).alias("_d"),
+            gfr = None
+            if diag:
+                t_g = time.monotonic()
+                gfr = gather_frame(ranks).persist(_STORAGE)
+                gfr.count()
+                timings["iterate_gather_s"] += time.monotonic() - t_g
+                t_u = time.monotonic()
+                cur = update_frame(ranks, gfr, need_delta, mass_cur)
+            else:
+                cur = ranks
+                m_k = mass_cur
+                for k in range(steps):
+                    # the final step carries the previous rank as `old`,
+                    # giving the single-step delta the criterion tests
+                    cur = step(cur, need_delta and k == steps - 1, m_k)
+                    m_k = damping * m_k + (1.0 - damping)
+
+            # materialize + truncate lineage every loop turn — without
+            # truncation the logical plan compounds per iteration.
+            # Convergence metrics ride along as observed aggregates of the
+            # SAME job (CollectMetrics): one Spark job per loop turn.
+            obs = Observation()
+            if need_delta:
+                new_ranks = truncate_lineage(
+                    cur.select(
+                        "id", "rank", "is_sink",
+                        F.abs(F.col("rank") - F.col("old")).alias("_d"),
+                    )
+                    .observe(
+                        obs,
+                        F.sum("_d").alias("l1"),
+                        F.sum("rank").alias("mass"),
+                    )
+                    .drop("_d")
                 )
-                .observe(
-                    obs,
-                    F.sum("_d").alias("l1"),
-                    F.sum("rank").alias("mass"),
+                agg = obs.get
+                l1 = float(agg["l1"])
+            else:
+                new_ranks = truncate_lineage(
+                    cur.select("id", "rank", "is_sink").observe(
+                        obs, F.sum("rank").alias("mass")
+                    )
                 )
-                .drop("_d")
+                agg = obs.get
+                l1 = None
+            mass = float(agg["mass"])
+            if not math.isfinite(mass) or (
+                l1 is not None and not math.isfinite(l1)
+            ):
+                raise NumericError(
+                    f"pagerank diverged at iteration {it}: mass={mass}"
+                )
+            if gfr is not None:
+                timings["iterate_update_s"] += time.monotonic() - t_u
+                gfr.unpersist(blocking=False)
+
+            # observed decay rate of the single-step L1 across this turn's
+            # `steps` power steps — feeds the next turn's chain prediction
+            if l1 is not None and prev_l1 is not None and prev_l1 > 0 and l1 > 0:
+                rate = (l1 / prev_l1) ** (1.0 / steps)
+            prev_l1 = l1
+
+            ranks = new_ranks
+            mass_cur = mass
+            it += steps
+            metrics.append(
+                {
+                    "iteration": it,
+                    "steps": steps,
+                    "l1_delta": l1,
+                    "mass": mass,
+                    "seconds": time.monotonic() - t0,
+                }
             )
-            agg = obs.get
-            l1 = float(agg["l1"])
-        else:
-            new_ranks = truncate_lineage(
-                cur.select("id", "rank", "is_sink").observe(
-                    obs, F.sum("rank").alias("mass")
-                )
+            timings["iterate_s"] += metrics[-1]["seconds"]
+
+            logger.info(
+                "pagerank iter=%d l1=%s mass=%.6f %.2fs",
+                it, f"{l1:.3e}" if l1 is not None else "-", mass,
+                metrics[-1]["seconds"],
             )
-            agg = obs.get
-            l1 = None
-        mass = float(agg["mass"])
-        if not math.isfinite(mass) or (l1 is not None and not math.isfinite(l1)):
-            raise NumericError(f"pagerank diverged at iteration {it}: mass={mass}")
 
-        ranks = new_ranks
-        it += steps
-        metrics.append(
-            {
-                "iteration": it,
-                "steps": steps,
-                "l1_delta": l1,
-                "mass": mass,
-                "seconds": time.monotonic() - t0,
-            }
-        )
-        timings["iterate_s"] += metrics[-1]["seconds"]
+            # save whenever the iteration counter CROSSES a checkpoint
+            # boundary — chained turns advance `it` by up to chain_max, so
+            # an exact `it % interval == 0` test would rarely fire
+            if ckpt is not None and (
+                it // checkpoint_interval > last_ckpt // checkpoint_interval
+            ):
+                ckpt.save(it, ranks.select("id", "rank"), metrics)
+                last_ckpt = it
 
-        logger.info(
-            "pagerank iter=%d l1=%s mass=%.6f %.2fs",
-            it, f"{l1:.3e}" if l1 is not None else "-", mass,
-            metrics[-1]["seconds"],
-        )
-
-        # save whenever the iteration counter CROSSES a checkpoint
-        # boundary — parity mode advances `it` by `chain` (up to 8), so
-        # an exact `it % interval == 0` test would rarely fire
-        if ckpt is not None and (
-            it // checkpoint_interval > last_ckpt // checkpoint_interval
-        ):
-            ckpt.save(it, ranks.select("id", "rank"), metrics)
-            last_ckpt = it
-
-        if tol is not None and l1 < tol:
-            converged = True
-            break
+            if tol is not None and l1 < tol:
+                converged = True
+                break
+    finally:
+        spark.conf.set(aqe_key, aqe_old)
 
     scores = sorted_scores(
         g.with_names(ranks.select("id", F.col("rank").alias("score")))

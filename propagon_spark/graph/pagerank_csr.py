@@ -199,6 +199,62 @@ def _load_block(token: str, path: str, nblocks: int, ext: str):
     return arrs
 
 
+def _shared_mount_probe(spark, local_dir: str) -> bool:
+    """True iff every executor can read a file the driver just wrote
+    under ``local_dir``.
+
+    The fast worker-side shard writer requires the ``file:`` checkpoint
+    dir to be a SHARED mount on a multi-node cluster — a node-local path
+    would hold shards that gather tasks on other nodes cannot open
+    (FileNotFoundError mid-iteration, round-3 verdict). Local masters
+    trivially share the driver's filesystem and skip the probe; on a
+    cluster this runs one tiny job (one task per default-parallelism
+    slot) that checks visibility from every node the job lands on and
+    reports the hostnames that cannot see the file.
+    """
+    sc = spark.sparkContext
+    if sc.master.startswith("local"):
+        return True
+    os.makedirs(local_dir, exist_ok=True)
+    probe = os.path.join(local_dir, f"_mount_probe_{_uuid.uuid4().hex}")
+    with open(probe, "w") as f:
+        f.write("propagon-csr shared-mount probe")
+    try:
+        import socket
+
+        def check(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            seen = os.path.exists(probe)
+            yield pd.DataFrame(
+                {"host": [socket.gethostname()], "ok": [bool(seen)]}
+            )
+
+        width = max(2, sc.defaultParallelism)
+        rows = (
+            spark.range(width)
+            .repartition(width)
+            .mapInPandas(check, schema="host string, ok boolean")
+            .collect()
+        )
+        bad = sorted({r["host"] for r in rows if not r["ok"]})
+        if bad:
+            import logging
+
+            logging.getLogger("propagon_spark.pagerank").warning(
+                "checkpoint dir %s is NOT a shared mount (invisible from "
+                "node(s) %s) — falling back to the portable JVM Parquet "
+                "block writer; point the checkpoint dir at a shared "
+                "filesystem (NFS/HDFS/S3) to re-enable the fast "
+                "worker-side shard path",
+                local_dir, ", ".join(bad),
+            )
+        return not bad
+    finally:
+        try:
+            os.remove(probe)
+        except OSError:
+            pass
+
+
 def _shard_writer_factory(blocks_dir: str, nblocks: int, np_dtype, ext: str):
     """Parallel worker-side shard build (the scaling fix).
 
@@ -354,6 +410,10 @@ def pagerank_csr(
 
     by_bucket: dict[int, list[str]] = {}
     local_blocks_dir = _as_local_path(blocks_dir)
+    if local_blocks_dir is not None and not _shared_mount_probe(
+        spark, local_blocks_dir
+    ):
+        local_blocks_dir = None  # node-local path on a cluster: portable path
     if local_blocks_dir is not None:
         # FAST PATH (plain/file: checkpoint dir — local mode or a shared
         # mount): parallel worker-side raw shard write. One mapInPandas

@@ -15,16 +15,42 @@ import tempfile
 from pyspark.sql import SparkSession
 
 
+def _memory_limit_bytes() -> int:
+    """Effective memory ceiling: min(MemTotal, cgroup limit).
+
+    /proc/meminfo reports HOST memory inside cgroup-limited containers,
+    so sizing from it alone can promise a heap the container cannot back
+    (JVM gets OOM-killed on first big allocation). Check both cgroup v2
+    (``memory.max``) and v1 (``limit_in_bytes``); "max" / absent /
+    absurdly-large sentinel values mean unlimited.
+    """
+    with open("/proc/meminfo") as f:
+        kb = int(next(ln for ln in f if ln.startswith("MemTotal")).split()[1])
+    limit = kb * 1024
+    for p in (
+        "/sys/fs/cgroup/memory.max",  # v2
+        "/sys/fs/cgroup/memory/memory.limit_in_bytes",  # v1
+    ):
+        try:
+            with open(p) as f:
+                raw = f.read().strip()
+            if raw != "max" and int(raw) < limit:
+                limit = int(raw)
+        except (OSError, ValueError):
+            continue
+    return limit
+
+
 def _default_driver_mem() -> str:
-    """min(48g, ~60% of MemTotal): big enough for cores × per-task
-    hash-agg/join state on the bench box (8g starved 32 threads over a
-    222M-row graph), without promising a heap a smaller host cannot
-    back — JVM heap, tmpfs shuffle spill and RAM-backed checkpoints all
-    compete for the same physical memory. PROPAGON_DRIVER_MEM wins."""
+    """min(48g, ~60% of min(MemTotal, cgroup limit)): big enough for
+    cores × per-task hash-agg/join state on the bench box (8g starved 32
+    threads over a 222M-row graph), without promising a heap a smaller
+    host (or a cgroup-limited container) cannot back — JVM heap, tmpfs
+    shuffle spill and RAM-backed checkpoints all compete for the same
+    physical memory. PROPAGON_DRIVER_MEM wins."""
     try:
-        with open("/proc/meminfo") as f:
-            kb = int(next(ln for ln in f if ln.startswith("MemTotal")).split()[1])
-        return f"{max(2, min(48, int(kb * 0.6 / 1024 / 1024)))}g"
+        gib = _memory_limit_bytes() / 2**30
+        return f"{max(2, min(48, int(gib * 0.6)))}g"
     except Exception:  # non-Linux — let the user size it
         return "4g"
 
