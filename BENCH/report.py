@@ -76,9 +76,10 @@ def main() -> None:
 
 Same PageRank job (damping 0.85, uniform sink, tol 1e-6) on the same
 input per pair, run at two parallelism levels in separate JVMs with one
-warm-up fit each; levels alternated over the stated repeats, best run
-per level kept (/proc/loadavg is host-wide in this sandbox — per-run
-load at start is recorded for transparency). The CSR bucket/file layout
+warm-up fit each; levels alternate within each repeat, efficiency is
+computed per repeat-pair and the reported number is the MEDIAN across
+repeats (/proc/loadavg is host-wide in this sandbox — per-run load at
+start is recorded for transparency). The CSR bucket/file layout
 is pinned across levels (nblocks = {head.get('nblocks', 32)}) so the
 comparison isolates parallelism. Efficiency = (T_N / T_4N) /
 (cores_4N / cores_N); target >= 0.8 (BASELINE.json).
@@ -100,8 +101,15 @@ that cap (the actual 10^12-file-scale path).
 
     for r in pairs:
         lo, hi, factor = r["low"], r["high"], r["n4"] / r["n"]
+        spread = ""
+        per_rep = r.get("efficiency_per_repeat")
+        if per_rep and len(per_rep) > 1:
+            spread = (f"\n\nPer-repeat efficiencies: "
+                      f"{', '.join(str(e) for e in per_rep)} "
+                      f"(median reported; the tables below show the "
+                      f"median repeat's own pair of runs).")
         md.append(f"""## {r['impl']} kernel, {r['n']} → {r['n4']} cores — \
-efficiency {r['scaling_efficiency']} ({r['input']}, repeats {r['repeats']})
+efficiency {r['scaling_efficiency']} ({r['input']}, repeats {r['repeats']}){spread}
 
 | level | cores | seconds | iterations | dedup edges | edges/sec | load at start |
 |---|---|---|---|---|---|---|

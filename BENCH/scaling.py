@@ -4,8 +4,9 @@ No real multi-executor cluster exists in this sandbox, so the north
 rule's N→4N criterion is evidenced by running the identical PageRank
 job on the identical input at two parallelism levels (local[N] vs
 local[4N]) in separate JVMs, reporting edges-processed/sec at both and
-the scaling efficiency. Writes BENCH/scaling_{N}x{4N}[_impl].json,
-recomposes BENCH/BASELINE.md, and prints a JSON line.
+the scaling efficiency — the MEDIAN over per-repeat level pairs.
+Writes BENCH/scaling_{N}x{4N}[_impl].json, recomposes
+BENCH/BASELINE.md, and prints a JSON line.
 
 De-confounded by design (round-2 verdict items):
 - the CSR bucket/file layout is PINNED across levels
@@ -121,26 +122,39 @@ def main() -> None:
     impl = sys.argv[5] if len(sys.argv) > 5 else "csr"
 
     # /proc/loadavg here is HOST-wide: other tenants' load shows up in
-    # wall-clock and hits the wide level hardest. Alternate the levels
-    # and keep each level's best run — standard noisy-host methodology;
-    # per-run loadavg is recorded for transparency.
-    lo = hi = None
+    # wall-clock and hits the wide level hardest. Levels are alternated
+    # within each repeat so a load window hits BOTH levels of a pair,
+    # and the pair's efficiency is computed per repeat; the HEADLINE is
+    # the MEDIAN of the per-repeat efficiencies (round-3 verdict: a
+    # single best-of run with a 3% pass margin against ±6% window
+    # spread is fragile evidence — the median of >=3 paired runs is
+    # robust to one contaminated window in either direction). Per-run
+    # loadavg is recorded for every run for auditability.
+    factor = n4 / n
+    pairs: list[dict] = []
     for _ in range(repeats):
         r_lo = run_level(n, sf_dir, impl)
         r_hi = run_level(n4, sf_dir, impl)
-        if lo is None or r_lo["seconds"] < lo["seconds"]:
-            lo = r_lo
-        if hi is None or r_hi["seconds"] < hi["seconds"]:
-            hi = r_hi
-    efficiency = (lo["seconds"] / hi["seconds"]) / (n4 / n)
+        eff = (r_lo["seconds"] / r_hi["seconds"]) / factor
+        pairs.append({"low": r_lo, "high": r_hi,
+                      "efficiency": round(eff, 3)})
+    effs = sorted(p["efficiency"] for p in pairs)
+    median_eff = effs[len(effs) // 2] if len(effs) % 2 else (
+        effs[len(effs) // 2 - 1] + effs[len(effs) // 2]
+    ) / 2
+    # the phase table and headline come from the SAME pair: the repeat
+    # whose efficiency is (lower-)median, so numbers stay coherent
+    rep = min(pairs, key=lambda p: abs(p["efficiency"] - median_eff))
     report = {
         "input": sf_dir,
         "impl": impl,
         "nblocks": int(NBLOCKS),
         "repeats": repeats,
-        "low": lo,
-        "high": hi,
-        "scaling_efficiency": round(efficiency, 3),
+        "low": rep["low"],
+        "high": rep["high"],
+        "scaling_efficiency": round(median_eff, 3),
+        "efficiency_per_repeat": [p["efficiency"] for p in pairs],
+        "all_runs": pairs,
         "target": 0.8,
     }
     print(json.dumps(report))

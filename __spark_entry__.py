@@ -247,8 +247,10 @@ def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Karp-Rabin rolling-hash min-sketch: int64-wrapping polynomial hash
-    # has no practical SQL twin ⇒ rows-only (deterministic across runs)
+    # Karp-Rabin rolling-hash min-sketch. The int64-wrapping polynomial
+    # hash IS SQL-expressible after all: DuckDB HUGEINT Horner steps with
+    # an explicit mod-2^64 after every multiply-add emulate numpy's
+    # two's-complement wraparound exactly (see _fingerprint_sql).
     from propagon_spark.functions.text import fingerprint
 
     return fingerprint(_doc(spark, sf_dir)).select("doc_id", "fingerprint")
@@ -895,6 +897,41 @@ JOIN sizes sb ON p.b = sb.id
 WHERE p.inter / (sa.sz + sb.sz - p.inter) >= {threshold}"""
 
 
+def _fingerprint_sql() -> str:
+    """SQL twin of the Karp-Rabin rolling-hash fingerprint (text.py
+    ``_rolling_fingerprint_udf``): min SIGNED int64 of the degree-7
+    polynomial hash h = Σ b[i+j]·B^(7−j) over every 8-byte window.
+
+    numpy's int64 arithmetic wraps two's-complement, i.e. it IS unsigned
+    arithmetic mod 2^64 reinterpreted as signed — so the twin runs the
+    Horner recurrence in HUGEINT with an explicit ``% 2^64`` after every
+    multiply-add (B^7 ≈ 1e42 would overflow even HUGEINT, so powers are
+    never formed), then maps each window value to signed before the MIN.
+    Byte values come from ``ord(substr(text, pos, 1))`` — identical to
+    UTF-8 bytes for the all-ASCII driver corpus (verified: 0 multi-byte
+    docs at every sf); a non-ASCII corpus would need a BLOB-level twin.
+    Docs shorter than the 8-byte window fingerprint to 0 (text.py:123).
+    """
+    m = "18446744073709551616::HUGEINT"  # 2^64
+    b = "1000003::HUGEINT"
+    expr = "ord(substr(text, i, 1))::HUGEINT"
+    for j in range(1, 8):
+        expr = f"(({expr}) * {b} + ord(substr(text, i+{j}, 1))::HUGEINT) % {m}"
+    return f"""WITH w AS (
+    SELECT d.doc_id, d.text, t.i
+    FROM documents d,
+         LATERAL (SELECT unnest(range(1, length(d.text) - 6)) AS i) t
+    WHERE length(d.text) >= 8),
+h AS (
+    SELECT doc_id,
+           CAST(CASE WHEN hu >= 9223372036854775808::HUGEINT
+                     THEN hu - {m} ELSE hu END AS BIGINT) AS hs
+    FROM (SELECT doc_id, ({expr}) AS hu FROM w))
+SELECT d.doc_id, COALESCE(m.fp, 0) AS fingerprint
+FROM documents d
+LEFT JOIN (SELECT doc_id, MIN(hs) AS fp FROM h GROUP BY 1) m USING (doc_id)"""
+
+
 def oracle_sql() -> dict[str, str]:
     from propagon_spark.functions.text import _LANG_MARKERS
 
@@ -1023,6 +1060,7 @@ SELECT doc_id, n_tokens,
              + (1.0 - least(punct_ratio*10.0, 1.0))*0.2
              + (1.0 - least(upper_ratio*5.0, 1.0))*0.1, 9) AS quality_score
 FROM feat""",
+        "doc_fingerprint": _fingerprint_sql(),
         "lang_id": f"""WITH padded AS (
     SELECT doc_id, concat(' ', lower(text), ' ') AS p FROM documents),
 scores AS (SELECT doc_id, {lang_scores} FROM padded)
