@@ -279,6 +279,17 @@ def pagerank(
         .persist(_STORAGE)
     )
     vstat.count()
+    # sink-free graphs (every vertex has out-edges — e.g. any symmetric
+    # graph) make every sink policy IDENTICAL: the pooled sink mass is
+    # exactly 0, so uniform/all degenerate to none and reverse rewrites
+    # nothing. Detect it once (vertex-sized scan of the persisted frame)
+    # and run the cheap single-reference step plan — the per-step sink
+    # machinery (gather materialization + mass scalar) is pure overhead.
+    # `reverse` removes sinks by construction (_reverse_rewrite).
+    has_sinks = (
+        sink != "reverse"
+        and vstat.where(F.col("is_sink")).limit(1).count() > 0
+    )
     # materialize the persisted scatter inside "setup"; row count = the
     # canonicalized edges actually processed per iteration (scaling harness
     # reads it from timings instead of re-running the distinct)
@@ -296,15 +307,13 @@ def pagerank(
         latest = ckpt.latest()
         if latest is not None:
             start_iter, state, metrics = latest
-            ranks = (
-                state.join(vstat.select("id", "is_sink"), "id")
-                .repartition(nparts, "id")
-                .transform(truncate_lineage)
+            ranks = truncate_lineage(
+                state.select("id", "rank").repartition(nparts, "id")
             )
     if ranks is None:
         # init = teleport vector (pagerank.rs:170-173)
         ranks = truncate_lineage(vstat.select(
-            "id", F.col("v").alias("rank"), "is_sink"
+            "id", F.col("v").alias("rank")
         ))
 
     def gather_frame(ranks: DataFrame) -> DataFrame:
@@ -329,60 +338,65 @@ def pagerank(
             F.sum(F.col("rank") * F.col("inv")).alias("m")
         )
 
-    def update_frame(
-        ranks: DataFrame, gathered: DataFrame, with_old: bool, m_in: float
+    def update_from(
+        gathered: DataFrame,
+        carry_old: bool,
+        old_ranks: DataFrame | None,
+        s_mass: float,
     ) -> DataFrame:
         """Sink redistribution + damping update over one gather result.
 
-        ``with_old=True`` additionally carries the previous rank as ``old``
-        (needed for the L1 delta and the ``all`` sink's self-exclusion);
-        every reference to ``ranks`` in the step plan multiplies the plan
-        size when steps are chained, so references are kept to a minimum:
-        the sink-mass scalar is derived from the GATHER OUTPUT as
-        S = M − Σm (Σ over all vertices of the gathered mass is exactly
-        the total rank of non-sink vertices), not from a second full
-        reference to ``ranks``. ``m_in`` is the total mass M at step
-        start, tracked analytically on the driver (both redistributing
-        sinks conserve mass as M' = d·M + (1−d)·Σv with Σv = 1) and
-        re-anchored to the OBSERVED mass at every materialization — the
-        FP deviation vs the reference's direct sink-rank sum is ~1e-15
-        per chain, far inside the 1e-6 parity contract
-        (pagerank.rs:194-218). This halves per-step plan refs for the
-        ``uniform`` sink (2→1) so chained-plan size grows linearly, not
-        2^C; the aggregate itself reuses the gather exchange
-        (ReusedExchange), so it costs one vertex-sized scan, not a second
-        edge pass.
+        ``s_mass`` is the pooled sink-rank scalar S as a plain DRIVER
+        FLOAT, folded into the plan as a literal. Round 3 derived S
+        in-plan via a broadcast 1-row aggregate over the gather subtree —
+        measured this round, that second reference DOUBLES the edge pass
+        per step (Catalyst's ReuseExchange does not bridge the broadcast
+        boundary on these iterated plans), and chaining such steps
+        recomputes the gather 2^C times (a 4-step chain measured 47 s vs
+        4×2 s single steps at 8 cores / 22M edges). The caller now
+        materializes the gather output with S observed on the SAME job
+        (Observation — no extra pass), so this update is a pure
+        single-reference projection: vertex-sized vstat join, literal
+        arithmetic, no broadcast subtree anywhere.
+
+        S = M − Σm (total gathered mass is exactly the rank mass of
+        non-sink vertices), with M tracked analytically on the driver and
+        re-anchored to the observed mass at every materialization; FP
+        deviation vs the reference's direct sink-rank sum is ~1e-15, far
+        inside the 1e-6 parity contract (pagerank.rs:194-218).
+
+        ``carry_old=True`` emits the previous rank as ``old`` (the L1
+        delta's input); ``old_ranks`` must then be a MATERIALIZED leaf so
+        the second plan reference costs a leaf scan, not a recompute.
+        The ``all`` sink needs ``old`` for its self-exclusion term
+        regardless (pagerank.rs:194-201).
         """
         joined = vstat.join(gathered.hint("shuffle_hash"), "id", "left")
-        if with_old or sink == "all":
+        need_old = carry_old or (sink == "all" and has_sinks)
+        if need_old:
             joined = joined.join(
-                ranks.select("id", F.col("rank").alias("old")).hint(
+                old_ranks.select("id", F.col("rank").alias("old")).hint(
                     "shuffle_hash"
                 ),
                 "id",
             )
-        if sink in ("uniform", "all"):
-            # 1-row broadcast aggregate — no driver action per iteration
-            s_df = gathered.agg(
-                (F.lit(m_in) - F.sum("m")).alias("_smass")
-            )
-            joined = joined.crossJoin(F.broadcast(s_df))
-            if sink == "uniform":
-                sink_term = F.col("_smass") * F.col("v")
-            else:  # all: (S - p_i·[i sink]) / (n-1), pagerank.rs:194-201
-                sink_term = (
-                    (
-                        F.col("_smass")
-                        - F.when(F.col("is_sink"), F.col("old")).otherwise(0.0)
-                    )
-                    / F.lit(float(n - 1))
-                    if n > 1
-                    else F.lit(0.0)
-                )
-        else:
+        if not has_sinks or sink in ("none", "reverse"):
+            # sink-free graph or non-redistributing policy: S ≡ 0
             sink_term = F.lit(0.0)
+        elif sink == "uniform":
+            sink_term = F.lit(s_mass) * F.col("v")
+        else:  # all: (S - p_i·[i sink]) / (n-1), pagerank.rs:194-201
+            sink_term = (
+                (
+                    F.lit(s_mass)
+                    - F.when(F.col("is_sink"), F.col("old")).otherwise(0.0)
+                )
+                / F.lit(float(n - 1))
+                if n > 1
+                else F.lit(0.0)
+            )
 
-        cols = ["id", "is_sink"] + (["old"] if (with_old or sink == "all") else [])
+        cols = ["id"] + (["old"] if carry_old else [])
         return joined.select(
             *cols,
             (
@@ -391,55 +405,60 @@ def pagerank(
             ).alias("rank"),
         )
 
-    def step(ranks: DataFrame, with_old: bool, m_in: float) -> DataFrame:
-        """One lazy power-iteration step."""
-        return update_frame(ranks, gather_frame(ranks), with_old, m_in)
-
     total_iters = iterations if tol is None else max_iterations
-    # Parity mode (reference semantics: fixed iteration budget, no early
-    # exit, pagerank.rs:104-105) chains lazy steps into one Spark job;
-    # chain length is bounded by how many times each step's plan
-    # references the previous iterate (LOGICAL plan size ~ refs^chain —
-    # Catalyst planning is driver-serial, so oversized plans become
-    # per-job fixed cost; at RUNTIME the duplicated gather subtree is
-    # deduplicated by ReuseExchange, so the edge pass runs once per step
-    # regardless). refs: 1 for none/reverse (gather only), 2 for uniform
-    # (gather + the sink-mass aggregate over it), 3 for `all` (+ the
-    # `old` join). Convergence mode chains ADAPTIVELY: the first two
-    # turns run single steps to measure the L1 decay rate, then each turn
-    # runs min(chain_max, predicted-steps-to-tol) — amortizing the
-    # per-job fixed cost (Catalyst planning, scheduling, lineage
-    # materialization; measured ~dominant at wide parallelism) while
-    # bounding convergence overshoot by the prediction error instead of a
-    # fixed C−1. The stop test stays the TRUE single-step delta
-    # ||p_{t+C} − p_{t+C−1}||₁: the last chained step carries its own
-    # `old` (one extra reference on the final step only). A chain-START
-    # delta would be unsound — when the damped matrix has a negative
-    # second eigenvalue (near-bipartite structure) consecutive deltas
-    # alternate sign and partially cancel, so ||p_{t+C} − p_t||₁ can be
-    # several times SMALLER than the current single-step delta and stop
-    # early while the reference's criterion is still above tol.
-    refs = {"none": 1, "reverse": 1, "uniform": 2, "all": 3}[sink]
-    chain_max = int(
-        os.environ.get("PROPAGON_JOIN_CHAIN", "0")
-    ) or {1: 8, 2: 4, 3: 1}[refs]
+    # Step scheduling. Two shapes, chosen by whether a per-step SCALAR
+    # barrier exists (pooled sink mass S — only when the graph actually
+    # has sinks AND the policy redistributes):
+    #
+    # - single-reference path (none/reverse, or any policy on a sink-free
+    #   graph): steps CHAIN into one Spark job — each step references the
+    #   previous iterate exactly once, so the chained plan is a linear
+    #   pipeline (no duplicated subtree anywhere). Convergence turns run
+    #   the chain as TWO jobs: job A = steps−1 pure chained steps,
+    #   materialized; job B = one final step whose `old` reference hits
+    #   job A's materialized LEAF (a second reference to a leaf is a
+    #   scan, not a recompute — measured this round: carrying `old` on
+    #   the last step of a LAZY chain doubled the whole edge pass).
+    #   The stop test stays the TRUE single-step delta
+    #   ||p_{t+C} − p_{t+C−1}||₁ (a chain-START delta is unsound: under
+    #   a negative second eigenvalue consecutive deltas alternate sign
+    #   and partially cancel, stopping early while the reference's
+    #   criterion is still above tol).
+    #
+    # - two-phase path (uniform/all WITH sinks): the update needs
+    #   S = M − Σm before any output row can be emitted, so each step is
+    #   job A = edge-heavy gather, materialized with Σm as an Observation
+    #   riding the same job; job B = vertex-sized update with S folded in
+    #   as a driver LITERAL. Round 3 derived S in-plan via a broadcast
+    #   aggregate over the gather subtree instead — that second subtree
+    #   reference recomputed the edge pass per step (2× at chain 1, 2^C
+    #   chained; a 4-step uniform chain measured 47 s vs 4×2 s single).
+    #
+    # Convergence mode sizes chains ADAPTIVELY: the first two turns run
+    # single steps to measure the L1 decay rate, then each turn runs
+    # min(chain_max, predicted-steps-to-tol) — amortizing per-job fixed
+    # cost (Catalyst planning, scheduling, lineage materialization) while
+    # bounding overshoot by the prediction error instead of a fixed C−1.
+    two_phase = has_sinks and sink in ("uniform", "all")
+    chain_max = 1 if two_phase else (
+        int(os.environ.get("PROPAGON_JOIN_CHAIN", "0")) or 8
+    )
     converged = False
     it = start_iter
     last_ckpt = start_iter
-    # analytic mass at chain start: redistributing sinks conserve
+    # analytic mass at turn start: redistributing sinks conserve
     # M' = d·M + (1−d); re-anchored to the observed mass each turn
     mass_cur = float(metrics[-1]["mass"]) if metrics else 1.0
     prev_l1: float | None = None
     rate: float | None = None
-    # PROPAGON_JOIN_PHASES=1: diagnostic mode for scaling audits — forces
-    # single steps and materializes the gather output separately so the
-    # per-iteration wall splits into gather (edge-heavy scatter join +
-    # agg) vs update (vstat join + sink term + lineage truncation), plus
-    # a trivial-job sample of the per-job fixed cost. Production runs pay
-    # none of this.
+    # PROPAGON_JOIN_PHASES=1: scaling-audit mode — forces single steps so
+    # per-turn seconds are per-ITERATION seconds. The gather/update phase
+    # split is recorded unconditionally (it falls out of the two-job
+    # structure); a trivial-job sample estimates the per-job fixed cost.
     diag = os.environ.get("PROPAGON_JOIN_PHASES") == "1"
     timings = {"kernel": "join", "edge_rows": n_scatter,
-               "setup_s": time.monotonic() - t_setup, "iterate_s": 0.0}
+               "setup_s": time.monotonic() - t_setup, "iterate_s": 0.0,
+               "iterate_gather_s": 0.0, "iterate_update_s": 0.0}
     # AQE off for the loop: every chained job re-plans each exchange as a
     # separate adaptive query stage (serial driver work per iteration)
     # and its partition coalescing breaks the pinned nparts partitioning
@@ -452,16 +471,16 @@ def pagerank(
         t_f = time.monotonic()
         spark.range(nparts * 1000).repartition(nparts, "id").count()
         timings["fixed_job_s"] = time.monotonic() - t_f
-        timings["iterate_gather_s"] = 0.0
-        timings["iterate_update_s"] = 0.0
 
     try:
         while it < total_iters:
             t0 = time.monotonic()
             need_delta = tol is not None
-            if tol is None:
+            if two_phase or diag:
+                steps = 1
+            elif tol is None:
                 steps = min(chain_max, total_iters - it)
-            elif diag or prev_l1 is None or rate is None:
+            elif prev_l1 is None or rate is None:
                 steps = 1  # first two turns calibrate the decay rate
             elif not (0.0 < rate < 1.0):
                 steps = chain_max  # not decaying: amortize fixed cost
@@ -470,32 +489,51 @@ def pagerank(
                 steps = max(1, min(chain_max, math.ceil(need)))
             steps = min(steps, total_iters - it)
 
-            gfr = None
-            if diag:
+            if two_phase:
+                # job A: edge pass; Σm observed on the SAME job, so the
+                # sink-mass scalar costs no extra pass and no broadcast
                 t_g = time.monotonic()
-                gfr = gather_frame(ranks).persist(_STORAGE)
-                gfr.count()
+                obs_g = Observation()
+                gath = truncate_lineage(
+                    gather_frame(ranks).observe(
+                        obs_g, F.sum("m").alias("sigma")
+                    )
+                )
+                sigma = float(obs_g.get["sigma"])
                 timings["iterate_gather_s"] += time.monotonic() - t_g
-                t_u = time.monotonic()
-                cur = update_frame(ranks, gfr, need_delta, mass_cur)
+                cur = update_from(
+                    gath, need_delta, ranks, mass_cur - sigma
+                )
             else:
                 cur = ranks
-                m_k = mass_cur
-                for k in range(steps):
-                    # the final step carries the previous rank as `old`,
-                    # giving the single-step delta the criterion tests
-                    cur = step(cur, need_delta and k == steps - 1, m_k)
-                    m_k = damping * m_k + (1.0 - damping)
+                pure = steps - 1 if need_delta else steps
+                for _ in range(pure):
+                    cur = update_from(gather_frame(cur), False, None, 0.0)
+                if need_delta:
+                    if pure > 0:
+                        # job A: materialize the pure chain; the final
+                        # delta-carrying step then references a LEAF
+                        t_g = time.monotonic()
+                        obs_m = Observation()
+                        cur = truncate_lineage(
+                            cur.observe(obs_m, F.sum("rank").alias("mass"))
+                        )
+                        mass_cur = float(obs_m.get["mass"])
+                        timings["iterate_gather_s"] += (
+                            time.monotonic() - t_g
+                        )
+                    cur = update_from(gather_frame(cur), True, cur, 0.0)
 
             # materialize + truncate lineage every loop turn — without
             # truncation the logical plan compounds per iteration.
             # Convergence metrics ride along as observed aggregates of the
             # SAME job (CollectMetrics): one Spark job per loop turn.
+            t_u = time.monotonic()
             obs = Observation()
             if need_delta:
                 new_ranks = truncate_lineage(
                     cur.select(
-                        "id", "rank", "is_sink",
+                        "id", "rank",
                         F.abs(F.col("rank") - F.col("old")).alias("_d"),
                     )
                     .observe(
@@ -509,7 +547,7 @@ def pagerank(
                 l1 = float(agg["l1"])
             else:
                 new_ranks = truncate_lineage(
-                    cur.select("id", "rank", "is_sink").observe(
+                    cur.select("id", "rank").observe(
                         obs, F.sum("rank").alias("mass")
                     )
                 )
@@ -522,9 +560,7 @@ def pagerank(
                 raise NumericError(
                     f"pagerank diverged at iteration {it}: mass={mass}"
                 )
-            if gfr is not None:
-                timings["iterate_update_s"] += time.monotonic() - t_u
-                gfr.unpersist(blocking=False)
+            timings["iterate_update_s"] += time.monotonic() - t_u
 
             # observed decay rate of the single-step L1 across this turn's
             # `steps` power steps — feeds the next turn's chain prediction
