@@ -12,10 +12,12 @@ Decoding is REAL for the codec-free formats this sandbox can handle:
   (numpy header + raw pixel parse), and **PNG** (stdlib ``zlib``
   inflate + per-row filter reconstruction — 8-bit non-interlaced
   grey/RGB/GA/RGBA);
-- anything else tries an optional ``PIL`` import and otherwise raises a
+- **baseline JPEG** (SOF0 sequential, stdlib+numpy marker parse,
+  Huffman entropy decode, vectorized IDCT, chroma upsampling,
+  YCbCr→RGB); progressive/arithmetic JPEG and video codecs raise a
   clearly-marked ``NotImplementedError`` naming the sniffed format
-  (compressed codecs — JPEG/MP3/H.264 — need libraries this
-  container doesn't ship).
+  (MP3/H.264 need libraries this container doesn't ship);
+- anything else tries an optional ``PIL`` import first.
 
 ``fake=True`` substitutes a deterministic byte-signal decoder so
 plumbing tests run on arbitrary payloads.
@@ -207,6 +209,298 @@ def decode_png(payload: bytes) -> np.ndarray:
     return img.astype(np.uint8).reshape(h, w, c)
 
 
+_JPEG_MAGIC = b"\xff\xd8"
+
+
+def _zigzag_order() -> np.ndarray:
+    """The 64-entry JPEG zigzag scan: zigzag index → row-major index."""
+    out = []
+    for s in range(15):
+        rng = range(max(0, s - 7), min(s, 7) + 1)
+        for y in (reversed(rng) if s % 2 == 0 else rng):
+            out.append(y * 8 + (s - y))
+    return np.array(out, dtype=np.intp)
+
+
+_ZIGZAG = _zigzag_order()
+
+#: IDCT-III basis A[u, x] = 0.5·a(u)·cos((2x+1)uπ/16); block = Aᵀ·F·A
+_IDCT_A = 0.5 * np.cos(
+    (2 * np.arange(8)[None, :] + 1) * np.arange(8)[:, None] * np.pi / 16
+)
+_IDCT_A[0] *= 1 / np.sqrt(2)
+
+
+class _JpegBits:
+    """MSB-first bit reader over de-stuffed entropy-coded bytes."""
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+        self.acc = 0
+        self.nbits = 0
+
+    def bit(self) -> int:
+        if self.nbits == 0:
+            if self.pos >= len(self.data):
+                return 0  # pad past the end (valid streams self-terminate)
+            self.acc = self.data[self.pos]
+            self.pos += 1
+            self.nbits = 8
+        self.nbits -= 1
+        return (self.acc >> self.nbits) & 1
+
+    def receive(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.bit()
+        return v
+
+
+def _extend(v: int, s: int) -> int:
+    """JPEG EXTEND (F.2.2.1): map the s-bit magnitude to its signed value."""
+    return v if s == 0 or v >= (1 << (s - 1)) else v - (1 << s) + 1
+
+
+def _huff_table(counts: list[int], symbols: bytes) -> dict:
+    """Canonical Huffman: {(length, code): symbol} from a DHT segment."""
+    table = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(counts[length - 1]):
+            table[(length, code)] = symbols[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+def _huff_decode(bits: _JpegBits, table: dict) -> int:
+    code = 0
+    for length in range(1, 17):
+        code = (code << 1) | bits.bit()
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+    raise NotImplementedError("invalid JPEG Huffman code in entropy stream")
+
+
+def decode_jpeg(payload: bytes) -> np.ndarray:
+    """Pure-stdlib/numpy **baseline sequential** JPEG (SOF0) decoder →
+    (H, W, 3) RGB or (H, W, 1) grayscale uint8.
+
+    Full marker parse (DQT 8/16-bit, DHT, SOF0, SOS, DRI with restart
+    markers), per-block Huffman + dequant, then one vectorized einsum
+    IDCT over all blocks per component, nearest-neighbor chroma
+    upsampling for subsampled scans and BT.601 YCbCr→RGB. Like the PNG
+    path this is a parity/ingest decoder (the Huffman loop is per-bit
+    Python), NOT a throughput path — real pipelines mount PIL/turbojpeg
+    and :func:`decode_image` prefers them when importable. Progressive
+    (SOF2) and arithmetic-coded streams raise ``NotImplementedError``.
+    """
+    if payload[:2] != _JPEG_MAGIC:
+        raise NotImplementedError("not a JPEG stream (missing SOI)")
+    quant: dict[int, np.ndarray] = {}
+    huff_dc: dict[int, dict] = {}
+    huff_ac: dict[int, dict] = {}
+    frame = None  # (h, w, [(cid, hs, vs, tq), ...])
+    restart_interval = 0
+    i = 2
+    data = payload
+    while i < len(data):
+        if data[i] != 0xFF:
+            i += 1
+            continue
+        marker = data[i + 1]
+        if marker in (0x01, 0xD8) or 0xD0 <= marker <= 0xD7:
+            i += 2
+            continue
+        if marker == 0xD9:  # EOI
+            break
+        seglen = int.from_bytes(data[i + 2 : i + 4], "big")
+        seg = data[i + 4 : i + 2 + seglen]
+        if marker == 0xDB:  # DQT
+            j = 0
+            while j < len(seg):
+                prec, tid = seg[j] >> 4, seg[j] & 0xF
+                j += 1
+                if prec:
+                    q = np.frombuffer(seg[j : j + 128], dtype=">u2").astype(
+                        np.float64
+                    )
+                    j += 128
+                else:
+                    q = np.frombuffer(seg[j : j + 64], dtype=np.uint8).astype(
+                        np.float64
+                    )
+                    j += 64
+                quant[tid] = q
+        elif marker == 0xC4:  # DHT
+            j = 0
+            while j < len(seg):
+                cls, tid = seg[j] >> 4, seg[j] & 0xF
+                counts = list(seg[j + 1 : j + 17])
+                nsym = sum(counts)
+                symbols = seg[j + 17 : j + 17 + nsym]
+                (huff_ac if cls else huff_dc)[tid] = _huff_table(
+                    counts, symbols
+                )
+                j += 17 + nsym
+        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 baseline
+            h = int.from_bytes(seg[1:3], "big")
+            w = int.from_bytes(seg[3:5], "big")
+            ncomp = seg[5]
+            comps = []
+            for ci in range(ncomp):
+                cid, hv, tq = seg[6 + 3 * ci : 9 + 3 * ci]
+                comps.append((cid, hv >> 4, hv & 0xF, tq))
+            frame = (h, w, comps)
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+                        0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(
+                f"JPEG SOF marker 0xFF{marker:02X} (progressive/arithmetic/"
+                "hierarchical) — only baseline sequential (SOF0/1) is decoded"
+            )
+        elif marker == 0xDD:  # DRI
+            restart_interval = int.from_bytes(seg[:2], "big")
+        elif marker == 0xDA:  # SOS — entropy-coded data follows
+            ns = seg[0]
+            scan_map = {}  # cid -> (dc table id, ac table id)
+            for k in range(ns):
+                cid, tabs = seg[1 + 2 * k], seg[2 + 2 * k]
+                scan_map[cid] = (tabs >> 4, tabs & 0xF)
+            i = i + 2 + seglen
+            return _jpeg_scan(
+                data, i, frame, scan_map, quant, huff_dc, huff_ac,
+                restart_interval,
+            )
+        i += 2 + seglen
+    raise NotImplementedError("JPEG stream ended before SOS")
+
+
+def _jpeg_scan(
+    data, start, frame, scan_map, quant, huff_dc, huff_ac, restart_interval
+):
+    if frame is None:
+        raise NotImplementedError("JPEG SOS before SOF0")
+    h, w, comps = frame
+    # de-stuff the entropy stream, splitting at restart markers (each
+    # restart byte-aligns and resets every DC predictor)
+    segments: list[bytes] = []
+    buf = bytearray()
+    i = start
+    while i < len(data):
+        b = data[i]
+        if b != 0xFF:
+            buf.append(b)
+            i += 1
+            continue
+        nxt = data[i + 1] if i + 1 < len(data) else 0xD9
+        if nxt == 0x00:
+            buf.append(0xFF)
+            i += 2
+        elif 0xD0 <= nxt <= 0xD7:
+            segments.append(bytes(buf))
+            buf = bytearray()
+            i += 2
+        else:  # EOI or next marker: scan over
+            break
+    segments.append(bytes(buf))
+
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    # per-component coefficient canvases, filled block-by-block; the
+    # IDCT runs vectorized over ALL blocks afterwards
+    coef = {
+        ci: np.zeros((mcuy * vs * mcux * hs, 64))
+        for ci, (_, hs, vs, _) in enumerate(comps)
+    }
+    nblk = {ci: 0 for ci in range(len(comps))}
+    pred = [0] * len(comps)
+    bits = _JpegBits(segments[0])
+    seg_i = 0
+    mcus_done = 0
+    for _my in range(mcuy):
+        for _mx in range(mcux):
+            if (
+                restart_interval
+                and mcus_done
+                and mcus_done % restart_interval == 0
+                and seg_i + 1 < len(segments)
+            ):
+                seg_i += 1
+                bits = _JpegBits(segments[seg_i])
+                pred = [0] * len(comps)
+            for ci, (cid, hs, vs, _tq) in enumerate(comps):
+                dct, act = scan_map[cid]
+                tdc, tac = huff_dc[dct], huff_ac[act]
+                for _ in range(hs * vs):
+                    zz = np.zeros(64)
+                    s = _huff_decode(bits, tdc)
+                    diff = _extend(bits.receive(s), s)
+                    pred[ci] += diff
+                    zz[0] = pred[ci]
+                    k = 1
+                    while k < 64:
+                        rs = _huff_decode(bits, tac)
+                        r, s = rs >> 4, rs & 0xF
+                        if s == 0:
+                            if r == 15:  # ZRL
+                                k += 16
+                                continue
+                            break  # EOB
+                        k += r
+                        if k > 63:
+                            break
+                        zz[k] = _extend(bits.receive(s), s)
+                        k += 1
+                    coef[ci][nblk[ci]] = zz
+                    nblk[ci] += 1
+            mcus_done += 1
+
+    planes = []
+    for ci, (_cid, hs, vs, tq) in enumerate(comps):
+        zz = coef[ci] * quant[tq][None, :]  # dequantize in zigzag order
+        blocks = np.zeros((zz.shape[0], 64))
+        blocks[:, _ZIGZAG] = zz  # de-zigzag
+        blocks = blocks.reshape(-1, 8, 8)
+        pix = np.einsum("ux,nuv,vy->nxy", _IDCT_A, blocks, _IDCT_A) + 128.0
+        # blocks were decoded MCU-major: reassemble the component canvas
+        bw = mcux * hs  # blocks per canvas row
+        canvas = np.zeros((mcuy * vs * 8, bw * 8))
+        bi = 0
+        for my in range(mcuy):
+            for mx in range(mcux):
+                for by in range(vs):
+                    for bx in range(hs):
+                        y0 = (my * vs + by) * 8
+                        x0 = (mx * hs + bx) * 8
+                        canvas[y0 : y0 + 8, x0 : x0 + 8] = pix[bi]
+                        bi += 1
+        # upsample subsampled components to full resolution and crop
+        canvas = np.repeat(
+            np.repeat(canvas, vmax // vs, axis=0), hmax // hs, axis=1
+        )
+        planes.append(canvas[:h, :w])
+
+    if len(planes) == 1:
+        out = planes[0][..., None]
+    else:  # BT.601 YCbCr → RGB (JFIF full-range)
+        y, cb, cr = planes[0], planes[1] - 128.0, planes[2] - 128.0
+        out = np.stack(
+            [
+                y + 1.402 * cr,
+                y - 0.344136 * cb - 0.714136 * cr,
+                y + 1.772 * cb,
+            ],
+            axis=-1,
+        )
+    return np.clip(np.round(out), 0, 255).astype(np.uint8)
+
+
 def encode_ppm(img: np.ndarray) -> bytes:
     """(H, W, 3|1) uint8 → binary PPM/PGM bytes (the re-encode side of
     :func:`resize_images`)."""
@@ -230,9 +524,11 @@ def decode_image(payload: bytes) -> np.ndarray:
         return np.asarray(Image.open(io.BytesIO(payload)).convert("RGB"))
     except ImportError:
         pass
+    if payload[:2] == _JPEG_MAGIC:
+        return decode_jpeg(payload)
     raise NotImplementedError(
         f"unsupported image format (magic {payload[:4]!r}); this container "
-        "decodes PPM/PGM/BMP/PNG natively — JPEG needs PIL"
+        "decodes PPM/PGM/BMP/PNG/baseline-JPEG natively"
     )
 
 

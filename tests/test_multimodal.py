@@ -78,9 +78,11 @@ def test_decode_image_sniffs_and_rejects():
     # PNG is now natively decoded — a truncated one is a typed PNG error
     with pytest.raises(NotImplementedError, match="PNG"):
         decode_image(b"\x89PNG\r\n\x1a\n....")
-    # JPEG still needs PIL — sniffed and rejected with the magic named
-    with pytest.raises(NotImplementedError, match="magic"):
+    # JPEG is natively decoded — a truncated one is a typed JPEG error
+    with pytest.raises(NotImplementedError, match="JPEG"):
         decode_image(b"\xff\xd8\xff\xe0....")
+    with pytest.raises(NotImplementedError, match="magic"):
+        decode_image(b"GIF89a....")
 
 
 def test_resize_images_spark(spark):
@@ -229,3 +231,234 @@ def test_png_unsupported_variants_are_typed():
     payload[24] = 16
     with pytest.raises(NotImplementedError, match="depth"):
         decode_png(bytes(payload))
+
+
+# ------------------------------------------------------------- JPEG
+
+class _BitWriter:
+    """MSB-first bit writer with JPEG 0xFF byte stuffing (test fixture)."""
+
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def put(self, val: int, nbits: int):
+        for i in range(nbits - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((val >> i) & 1)
+            self.n += 1
+            if self.n == 8:
+                self.out.append(self.acc)
+                if self.acc == 0xFF:
+                    self.out.append(0x00)
+                self.acc = 0
+                self.n = 0
+
+    def flush(self):
+        while self.n:
+            self.put(1, 1)
+
+
+def _fdct_tokens(comps_blocks, pred, ci, tokens):
+    """Forward DCT + quantize(q=1) + zigzag + run-length one block list."""
+    from propagon_spark.functions.multimodal import _IDCT_A, _ZIGZAG
+
+    for block in comps_blocks:
+        f = _IDCT_A @ (block.astype(np.float64) - 128.0) @ _IDCT_A.T
+        zz = np.round(f.ravel()[_ZIGZAG]).astype(int)
+        diff = int(zz[0]) - pred[ci]
+        pred[ci] = int(zz[0])
+        s = abs(diff).bit_length()
+        tokens.append(("dc", s, diff, s))
+        run = 0
+        last = 63
+        while last > 0 and zz[last] == 0:
+            last -= 1
+        for k in range(1, last + 1):
+            v = int(zz[k])
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                tokens.append(("ac", 0xF0, 0, 0))  # ZRL
+                run -= 16
+            s = abs(v).bit_length()
+            tokens.append(("ac", (run << 4) | s, v, s))
+            run = 0
+        if last < 63:
+            tokens.append(("ac", 0x00, 0, 0))  # EOB
+
+
+def _pad_to(plane, mult):
+    h, w = plane.shape
+    ph = (-h) % mult
+    pw = (-w) % mult
+    return np.pad(plane, ((0, ph), (0, pw)), mode="edge")
+
+
+def jpeg_bytes(img: np.ndarray, subsample: bool = False,
+               restart: int = 0) -> bytes:
+    """Minimal baseline-sequential JPEG encoder (test fixture): quant
+    table all-ones (near-lossless), one shared DC and AC Huffman table
+    with flat 8-bit canonical codes, optional 4:2:0 subsampling and
+    restart intervals. Emits standards-conformant SOI/DQT/SOF0/DHT/
+    [DRI]/SOS/EOI so the decoder's real marker parse is exercised."""
+    from propagon_spark.functions.multimodal import _ZIGZAG
+
+    gray = img.ndim == 2 or img.shape[2] == 1
+    h, w = img.shape[:2]
+    if gray:
+        planes = [img.reshape(h, w).astype(np.float64)]
+        samp = [(1, 1)]
+    else:
+        rgb = img.astype(np.float64)
+        r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+        if subsample:
+            samp = [(2, 2), (1, 1), (1, 1)]
+            ye = _pad_to(y, 2)
+            cb = (cb[: ye.shape[0], : ye.shape[1]] if False else
+                  _pad_to(cb, 2))
+            cr = _pad_to(cr, 2)
+            cb = cb.reshape(cb.shape[0] // 2, 2, cb.shape[1] // 2, 2).mean(
+                axis=(1, 3))
+            cr = cr.reshape(cr.shape[0] // 2, 2, cr.shape[1] // 2, 2).mean(
+                axis=(1, 3))
+            planes = [y, cb, cr]
+        else:
+            samp = [(1, 1), (1, 1), (1, 1)]
+            planes = [y, cb, cr]
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    padded = [
+        np.pad(
+            p,
+            ((0, mcuy * vs * 8 - p.shape[0]), (0, mcux * hs * 8 - p.shape[1])),
+            mode="edge",
+        )
+        for (hs, vs), p in zip(samp, planes)
+    ]
+
+    tokens = []
+    pred = [0] * len(planes)
+    mcus = 0
+    marks = []  # (token index, rst index) restart positions
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart and mcus and mcus % restart == 0:
+                marks.append(len(tokens))
+                pred = [0] * len(planes)
+            for ci, ((hs, vs), p) in enumerate(zip(samp, padded)):
+                blocks = [
+                    p[(my * vs + by) * 8:(my * vs + by + 1) * 8,
+                      (mx * hs + bx) * 8:(mx * hs + bx + 1) * 8]
+                    for by in range(vs) for bx in range(hs)
+                ]
+                _fdct_tokens(blocks, pred, ci, tokens)
+            mcus += 1
+
+    dc_syms = sorted({t[1] for t in tokens if t[0] == "dc"})
+    ac_syms = sorted({t[1] for t in tokens if t[0] == "ac"})
+    dc_code = {s: i for i, s in enumerate(dc_syms)}
+    ac_code = {s: i for i, s in enumerate(ac_syms)}
+
+    bw = _BitWriter()
+    chunks = []  # entropy segments split at restart marks
+    mark_set = set(marks)
+    for ti, (kind, sym, v, s) in enumerate(tokens):
+        if ti in mark_set:
+            bw.flush()
+            chunks.append(bytes(bw.out))
+            bw = _BitWriter()
+        code = dc_code[sym] if kind == "dc" else ac_code[sym]
+        bw.put(code, 8)
+        if s:
+            bw.put(v if v >= 0 else v + (1 << s) - 1, s)
+    bw.flush()
+    chunks.append(bytes(bw.out))
+
+    def seg(marker, body):
+        return bytes([0xFF, marker]) + (len(body) + 2).to_bytes(2, "big") + body
+
+    q = np.ones(64, dtype=np.uint8)
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xDB, bytes([0x00]) + q[_ZIGZAG].tobytes())
+    sof = bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big") + bytes(
+        [len(planes)])
+    for ci, (hs, vs) in enumerate(samp):
+        sof += bytes([ci + 1, (hs << 4) | vs, 0])
+    out += seg(0xC0, sof)
+    for cls, syms in ((0, dc_syms), (1, ac_syms)):
+        counts = [0] * 16
+        counts[7] = len(syms)
+        out += seg(0xC4, bytes([cls << 4]) + bytes(counts) + bytes(syms))
+    if restart:
+        out += seg(0xDD, restart.to_bytes(2, "big"))
+    sos = bytes([len(planes)])
+    for ci in range(len(planes)):
+        sos += bytes([ci + 1, 0x00])
+    sos += bytes([0, 63, 0])
+    out += seg(0xDA, sos)
+    for i, ch in enumerate(chunks):
+        out += ch
+        if i < len(chunks) - 1:
+            out += bytes([0xFF, 0xD0 + (i % 8)])
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def _smooth_image(h, w, channels=3, seed=3):
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float64)
+    base = 128 + 60 * np.sin(xx / 9.0) + 50 * np.cos(yy / 7.0)
+    if channels == 1:
+        return np.clip(base, 0, 255).astype(np.uint8)
+    rng = np.random.default_rng(seed)
+    shift = rng.integers(-30, 30, size=3)
+    img = np.stack([np.clip(base + s, 0, 255) for s in shift], axis=-1)
+    return img.astype(np.uint8)
+
+
+def test_jpeg_gray_round_trip():
+    from propagon_spark.functions.multimodal import decode_jpeg
+
+    img = _smooth_image(24, 33, channels=1)
+    out = decode_jpeg(jpeg_bytes(img))
+    assert out.shape == (24, 33, 1)
+    assert np.max(np.abs(out[..., 0].astype(int) - img.astype(int))) <= 3
+
+
+def test_jpeg_rgb_444_round_trip():
+    from propagon_spark.functions.multimodal import decode_jpeg
+
+    img = _smooth_image(21, 13, channels=3)
+    out = decode_jpeg(jpeg_bytes(img))
+    assert out.shape == (21, 13, 3)
+    assert np.max(np.abs(out.astype(int) - img.astype(int))) <= 6
+
+
+def test_jpeg_420_subsampled_and_restart():
+    from propagon_spark.functions.multimodal import decode_jpeg
+
+    # constant chroma: 2x2 chroma averaging is lossless, isolating the
+    # upsampling path from subsampling loss
+    img = np.stack([_smooth_image(35, 50, 1)] * 3, axis=-1)
+    out = decode_jpeg(jpeg_bytes(img, subsample=True))
+    assert out.shape == (35, 50, 3)
+    assert np.max(np.abs(out.astype(int) - img.astype(int))) <= 6
+    out_r = decode_jpeg(jpeg_bytes(img, subsample=True, restart=2))
+    assert np.array_equal(out, out_r)
+
+
+def test_jpeg_sniffed_and_progressive_typed():
+    from propagon_spark.functions.multimodal import decode_jpeg
+
+    img = _smooth_image(16, 16, channels=3)
+    assert decode_image(jpeg_bytes(img)).shape == (16, 16, 3)
+    # SOF2 (progressive) must be a typed error, not a wrong answer
+    prog = b"\xff\xd8" + b"\xff\xc2" + (10).to_bytes(2, "big") + b"\x00" * 8
+    with pytest.raises(NotImplementedError, match="progressive"):
+        decode_jpeg(prog)
