@@ -489,9 +489,12 @@ def pagerank(
                 steps = max(1, min(chain_max, math.ceil(need)))
             steps = min(steps, total_iters - it)
 
-            if two_phase:
+            if two_phase or diag:
                 # job A: edge pass; Σm observed on the SAME job, so the
-                # sink-mass scalar costs no extra pass and no broadcast
+                # sink-mass scalar costs no extra pass and no broadcast.
+                # diag forces this two-job shape on sink-free graphs too,
+                # so the audit gets the gather/update split per iteration
+                # (production sink-free runs use the cheaper chained job).
                 t_g = time.monotonic()
                 obs_g = Observation()
                 gath = truncate_lineage(
@@ -502,7 +505,8 @@ def pagerank(
                 sigma = float(obs_g.get["sigma"])
                 timings["iterate_gather_s"] += time.monotonic() - t_g
                 cur = update_from(
-                    gath, need_delta, ranks, mass_cur - sigma
+                    gath, need_delta, ranks,
+                    mass_cur - sigma if two_phase else 0.0,
                 )
             else:
                 cur = ranks
