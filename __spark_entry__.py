@@ -271,6 +271,27 @@ def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # IVF in full-probe mode (nprobe = n_cells): candidate generation is
+    # exhaustive, so the result is EXACTLY brute-force top-k — the same
+    # SQL oracle as ann_cosine_topk gates the whole IVF plumbing
+    # (k-means training, cell assignment, probe explode, cell join,
+    # rescore, tie-break). Production-nprobe recall is measured by
+    # bench.py's ivf_recall_eval harness.
+    from propagon_spark.functions.similarity import ivf_cosine_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    out = ivf_cosine_topk(emb, k=5, n_cells=16, nprobe=16, sample_rows=10_000)
+    return out.select(
+        "query_id",
+        "neighbor_id",
+        F.round("cosine", 9).alias("cosine"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # LSH-bucketed candidate generation (numpy-RNG hyperplanes ⇒ no SQL
     # twin, rows-only); rescoring is exact cosine, pairs a < b
@@ -490,6 +511,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score": q_quality_score,
         "doc_fingerprint": q_fingerprint,
         "ann_cosine_topk": q_ann_cosine_topk,
+        "ann_ivf_topk": q_ann_ivf_topk,
         "embedding_neardup": q_embedding_neardup,
         "pagerank_conv60": q_pagerank_conv60,
         "hits_k2": q_hits_k,
@@ -932,6 +954,24 @@ FROM documents d
 LEFT JOIN (SELECT doc_id, MIN(hs) AS fp FROM h GROUP BY 1) m USING (doc_id)"""
 
 
+#: exact cosine top-5 — the oracle for BOTH the brute-force query and
+#: the IVF full-probe query (which is exhaustive by construction)
+_ANN_TOPK_SQL = """WITH e AS (
+    SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+scored AS (
+    SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+           list_cosine_similarity(a.emb, b.emb) AS c
+    FROM e a JOIN e b ON a.vec_id <> b.vec_id),
+ranked AS (
+    SELECT query_id, neighbor_id, c,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY c DESC, neighbor_id ASC) AS rank
+    FROM scored)
+SELECT query_id, neighbor_id, ROUND(c, 9) AS cosine,
+       CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= 5"""
+
+
 def oracle_sql() -> dict[str, str]:
     from propagon_spark.functions.text import _LANG_MARKERS
 
@@ -1065,18 +1105,8 @@ FROM feat""",
     SELECT doc_id, concat(' ', lower(text), ' ') AS p FROM documents),
 scores AS (SELECT doc_id, {lang_scores} FROM padded)
 SELECT doc_id, {_LANG_CASE} AS lang_pred FROM scores""",
-        "ann_cosine_topk": """WITH e AS (
-    SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
-scored AS (
-    SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
-           list_cosine_similarity(a.emb, b.emb) AS c
-    FROM e a JOIN e b ON a.vec_id <> b.vec_id),
-ranked AS (
-    SELECT query_id, neighbor_id, c,
-           row_number() OVER (PARTITION BY query_id
-                              ORDER BY c DESC, neighbor_id ASC) AS rank
-    FROM scored)
-SELECT query_id, neighbor_id, ROUND(c, 9) AS cosine,
-       CAST(rank AS BIGINT) AS rank
-FROM ranked WHERE rank <= 5""",
+        "ann_cosine_topk": _ANN_TOPK_SQL,
+        # IVF full-probe is exhaustive by construction, so the exact
+        # brute-force oracle gates it too (see q_ann_ivf_topk)
+        "ann_ivf_topk": _ANN_TOPK_SQL,
     }

@@ -135,6 +135,16 @@ def main() -> None:
     recall = ann_recall_at_k(emb.limit(1000), k=10, num_planes=4, num_tables=32)
     eval_queries["ann_recall_eval"] = time.monotonic() - t0
 
+    # recall@10 of the IVF path at a production probe ratio
+    # (nprobe/n_cells = 1/2 here — the synthetic embeddings are
+    # near-uniform, the hardest case for a cell quantizer)
+    t0 = time.monotonic()
+    ivf_recall = ann_recall_at_k(
+        emb.limit(1000), k=10, method="ivf",
+        n_cells=16, nprobe=8, sample_rows=1000,
+    )
+    eval_queries["ivf_recall_eval"] = time.monotonic() - t0
+
     # realized recall/precision of the banded MinHash and block-bucketed
     # SimHash near-dup paths vs the exact n-gram Jaccard oracle on a
     # bounded sample (round-3 verdict item 5)
@@ -177,6 +187,8 @@ def main() -> None:
                 "dedup_directed_edges": dedup_edges,
                 "ann_recall_at_10": round(recall["recall_at_k"], 4),
                 "ann_rescore_mismatches": recall["rescore_mismatches"],
+                "ivf_recall_at_10": round(ivf_recall["recall_at_k"], 4),
+                "ivf_rescore_mismatches": ivf_recall["rescore_mismatches"],
                 "minhash_recall": round(ndq["minhash_recall"], 4),
                 "minhash_precision": round(ndq["minhash_precision"], 4),
                 "simhash_recall": round(ndq["simhash_recall"], 4),

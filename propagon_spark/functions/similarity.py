@@ -1,11 +1,20 @@
 """Similarity search over embedding columns (array<float>).
 
 Brute-force cosine top-k as the exact baseline (pure Catalyst:
-zip_with/aggregate dot products, window top-k), and a random-hyperplane
-LSH-bucketed variant as the scale path (signatures via an Arrow-batched
-pandas UDF, candidates via bucket join, exact rescoring on candidates
-only). Embedding-cosine near-duplicate detection is the same kernel with
-a threshold instead of top-k.
+zip_with/aggregate dot products, window top-k), and two bucketed scale
+paths that only rescore candidate pairs exactly:
+
+- **random-hyperplane LSH** (data-independent; signatures via an
+  Arrow-batched pandas UDF, candidates via bucket join) — robust on any
+  distribution, recall tuned by planes × tables;
+- **IVF** (data-adaptive; spherical k-means cells trained on a bounded
+  sample, corpus assigned to its nearest cell, queries probe their
+  ``nprobe`` nearest cells) — smaller candidate sets than LSH when the
+  corpus has cluster structure, the layout every production ANN system
+  (FAISS IVF*, ScaNN) builds on.
+
+Embedding-cosine near-duplicate detection is the LSH kernel with a
+threshold instead of top-k.
 """
 
 from __future__ import annotations
@@ -176,18 +185,192 @@ def lsh_cosine_topk(
     )
 
 
+def train_ivf_centroids(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_cells: int = 64,
+    sample_rows: int = 100_000,
+    iters: int = 10,
+    seed: int = 42,
+) -> np.ndarray:
+    """Spherical k-means coarse quantizer: (n_cells × dim) unit-norm
+    centroids trained on a deterministic bounded sample.
+
+    Sample-based training is the standard IVF recipe (FAISS trains on
+    ~max(10k, 40·n_cells) vectors regardless of corpus size): the
+    driver-side cost is O(sample_rows · dim) memory and
+    O(iters · sample_rows · n_cells · dim) BLAS time, INDEPENDENT of
+    corpus size — at 100 TB the sample is the only thing that ever
+    leaves the executors. Determinism: the sample is the first
+    ``sample_rows`` rows ordered by ``id_col`` (stable across
+    partitionings and parallelism levels, unlike ``df.limit`` on an
+    unordered frame), and k-means++-style init draws from a seeded RNG.
+    """
+    sample = (
+        df.select(id_col, vec_col)
+        .orderBy(id_col)
+        .limit(sample_rows)
+        .select(vec_col)
+        .collect()
+    )
+    x = np.asarray([r[0] for r in sample], dtype=np.float32)
+    norms = np.linalg.norm(x, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    x = x / norms
+    n = x.shape[0]
+    if n < n_cells:
+        raise ValueError(
+            f"IVF training sample has {n} rows < n_cells={n_cells}; "
+            f"lower n_cells or raise sample_rows"
+        )
+    rng = np.random.RandomState(seed)
+    cent = x[rng.choice(n, size=n_cells, replace=False)].copy()
+    for _ in range(iters):
+        # spherical Lloyd step: assign by max dot, re-mean, re-normalize
+        assign = np.argmax(x @ cent.T, axis=1)
+        for c in range(n_cells):
+            members = x[assign == c]
+            if len(members):
+                m = members.mean(axis=0)
+                nm = np.linalg.norm(m)
+                if nm > 0:
+                    cent[c] = m / nm
+            else:  # dead cell: reseed on the point worst-served so far
+                worst = np.argmin(np.max(x @ cent.T, axis=1))
+                cent[c] = x[worst]
+    return cent
+
+
+def _ivf_assign_udf(centroids: np.ndarray, nprobe: int, dim: int):
+    """Arrow-batched cell assignment: each batch is one BLAS matmul
+    against the (tiny, closure-shipped) centroid matrix; returns the
+    ``nprobe`` nearest cell ids per vector."""
+    cent_t = centroids.T.astype(np.float32)  # (dim × n_cells)
+
+    @pandas_udf("array<int>")
+    def assign(vecs: pd.Series) -> pd.Series:
+        m = np.stack(
+            [
+                np.asarray(v, dtype=np.float32)
+                if v is not None
+                else np.zeros(dim, dtype=np.float32)
+                for v in vecs
+            ]
+        )
+        norms = np.linalg.norm(m, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        sims = (m / norms) @ cent_t  # (batch × n_cells)
+        if nprobe == 1:
+            cells = np.argmax(sims, axis=1)[:, None]
+        else:
+            top = np.argpartition(-sims, nprobe - 1, axis=1)[:, :nprobe]
+            order = np.argsort(
+                -np.take_along_axis(sims, top, axis=1), axis=1
+            )
+            cells = np.take_along_axis(top, order, axis=1)
+        return pd.Series(list(cells.astype(np.int32)))
+
+    return assign
+
+
+def ivf_cosine_topk(
+    df: DataFrame,
+    queries: DataFrame | None = None,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 10,
+    n_cells: int = 64,
+    nprobe: int = 8,
+    dim: int | None = None,
+    seed: int = 42,
+    centroids: np.ndarray | None = None,
+    sample_rows: int = 100_000,
+) -> DataFrame:
+    """IVF (inverted-file) approximate cosine top-k: the corpus is
+    partitioned into ``n_cells`` k-means cells; each query exactly
+    rescores only the vectors in its ``nprobe`` nearest cells.
+
+    100-TB shape: the centroid matrix (n_cells × dim floats) ships in
+    the UDF closure — no shuffle, no broadcast join; corpus assignment
+    is one Arrow-batched BLAS pass; the only exchange is the
+    candidate join keyed on ``_cell`` (corpus partitioned by cell —
+    the inverted file; at rest this is a parquet table bucketed by
+    cell, so repeated query batches prune cells at scan time). Expected
+    candidate work per query is nprobe/n_cells of the corpus vs LSH's
+    distribution-dependent bucket sizes — IVF wins when the corpus has
+    cluster structure because cells adapt to it.
+
+    ``nprobe=n_cells`` probes every cell: candidate generation becomes
+    exhaustive and the result is EXACTLY :func:`cosine_topk` (same
+    rescoring expressions, same tie-break) — the correctness gate the
+    driver's oracle checks; recall at the production nprobe is measured
+    by :func:`ann_recall_at_k(method="ivf")`.
+
+    Pass pre-trained ``centroids`` to amortize training across calls
+    (and to pin the quantizer when the corpus grows between batches).
+    """
+    if dim is None:
+        dim = len(df.select(vec_col).first()[0])
+    nprobe = min(nprobe, n_cells)
+    if centroids is None:
+        centroids = train_ivf_centroids(
+            df, vec_col, id_col, n_cells=n_cells,
+            sample_rows=sample_rows, seed=seed,
+        )
+    assign1 = _ivf_assign_udf(centroids, 1, dim)
+    corpus = with_norm(df, vec_col).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("_cv"),
+        F.col("_norm").alias("_cn"),
+        F.element_at(assign1(F.col(vec_col)), 1).alias("_cell"),
+    )
+    assign_q = _ivf_assign_udf(centroids, nprobe, dim)
+    qs = with_norm(queries if queries is not None else df, vec_col).select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("_qv"),
+        F.col("_norm").alias("_qn"),
+        F.explode(assign_q(F.col(vec_col))).alias("_cell"),
+    )
+    scored = (
+        qs.join(corpus, "_cell")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            (
+                _dot(F.col("_qv"), F.col("_cv"))
+                / (F.col("_qn") * F.col("_cn"))
+            ).alias("cosine"),
+        )
+        # no dedup needed (unlike the LSH multi-table path): a corpus
+        # vector lives in exactly ONE cell and a query probes each cell
+        # at most once, so a (query, neighbor) pair matches exactly once
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )
+
+
 def ann_recall_at_k(
     df: DataFrame,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     k: int = 10,
-    **lsh_kwargs,
+    method: str = "lsh",
+    **ann_kwargs,
 ) -> dict:
-    """Recall@k of :func:`lsh_cosine_topk` against the exact brute-force
-    oracle on the same frame: |approx ∩ exact| / |exact|, plus the
-    candidate-verification invariant (every pair the LSH path returns
-    carries the same cosine the exact path computes — the rescore is
-    exact, only candidate *generation* is approximate).
+    """Recall@k of the chosen ANN path (``method="lsh"`` →
+    :func:`lsh_cosine_topk`, ``"ivf"`` → :func:`ivf_cosine_topk`)
+    against the exact brute-force oracle on the same frame:
+    |approx ∩ exact| / |exact|, plus the candidate-verification
+    invariant (every pair the ANN path returns carries the same cosine
+    the exact path computes — the rescore is exact, only candidate
+    *generation* is approximate).
 
     Evaluation harness — runs the brute-force O(|Q|·|C|) oracle, so use
     on samples, not the full corpus.
@@ -195,9 +378,15 @@ def ann_recall_at_k(
     exact = cosine_topk(df, None, vec_col, id_col, k=k).select(
         "query_id", "neighbor_id", F.col("cosine").alias("_ec")
     )
-    approx = lsh_cosine_topk(df, vec_col, id_col, k=k, **lsh_kwargs).select(
-        "query_id", "neighbor_id", "cosine"
-    )
+    if method == "lsh":
+        approx = lsh_cosine_topk(df, vec_col, id_col, k=k, **ann_kwargs)
+    elif method == "ivf":
+        approx = ivf_cosine_topk(
+            df, None, vec_col, id_col, k=k, **ann_kwargs
+        )
+    else:
+        raise ValueError(f"unknown ANN method {method!r}")
+    approx = approx.select("query_id", "neighbor_id", "cosine")
     joined = approx.join(exact, ["query_id", "neighbor_id"], "inner").persist()
     hits = joined.count()
     mismatched = joined.where(
@@ -207,6 +396,7 @@ def ann_recall_at_k(
     joined.unpersist()
     return {
         "recall_at_k": hits / total if total else 1.0,
+        "method": method,
         "k": k,
         "exact_pairs": total,
         "hit_pairs": hits,

@@ -148,23 +148,89 @@ def test_ann_recall_harness(spark):
     # planted clusters: 8 tight bundles of 6 vectors each; the LSH path
     # with the clustered-corpus default must recover nearly all exact
     # top-3 neighbors, and its rescoring must agree with the oracle
-    import numpy as np
-
     from propagon_spark.functions.similarity import ann_recall_at_k
 
-    rng = np.random.RandomState(7)
-    centers = rng.standard_normal((8, 32))
-    rows = []
-    i = 0
-    for c in centers:
-        for _ in range(6):
-            v = c + 0.05 * rng.standard_normal(32)
-            rows.append((f"v{i:03d}", [float(x) for x in v]))
-            i += 1
-    df = spark.createDataFrame(rows, "vec_id string, embedding array<double>")
+    df = spark.createDataFrame(
+        _clustered_vectors(), "vec_id string, embedding array<double>"
+    )
     r = ann_recall_at_k(df, k=3, num_planes=8, num_tables=8)
     assert r["rescore_mismatches"] == 0
     assert r["recall_at_k"] >= 0.9
+
+
+def _clustered_vectors(n_clusters=8, per_cluster=6, dim=32, seed=7):
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    centers = rng.standard_normal((n_clusters, dim))
+    rows = []
+    i = 0
+    for c in centers:
+        for _ in range(per_cluster):
+            v = c + 0.05 * rng.standard_normal(dim)
+            rows.append((f"v{i:03d}", [float(x) for x in v]))
+            i += 1
+    return rows
+
+
+def test_ivf_full_probe_equals_bruteforce(spark):
+    # nprobe = n_cells makes candidate generation exhaustive: the IVF
+    # path must reproduce the exact brute-force top-k bit-for-bit
+    # (same rescore expressions, same tie-break) — this is the
+    # invariant the driver's ann_ivf_topk oracle checks at sf0.01
+    from propagon_spark.functions.similarity import (
+        cosine_topk,
+        ivf_cosine_topk,
+    )
+
+    df = spark.createDataFrame(
+        _clustered_vectors(), "vec_id string, embedding array<double>"
+    )
+    exact = {
+        (r["query_id"], r["rank"]): (r["neighbor_id"], r["cosine"])
+        for r in cosine_topk(df, k=3).collect()
+    }
+    ivf = {
+        (r["query_id"], r["rank"]): (r["neighbor_id"], r["cosine"])
+        for r in ivf_cosine_topk(
+            df, k=3, n_cells=8, nprobe=8, sample_rows=100
+        ).collect()
+    }
+    assert ivf == exact
+
+
+def test_ivf_recall_on_clustered_corpus(spark):
+    # cells adapt to the planted clusters, so probing 2 of 8 cells must
+    # still recover nearly all true neighbors (they share the query's
+    # own cell), and rescoring is exact on every returned pair
+    from propagon_spark.functions.similarity import ann_recall_at_k
+
+    df = spark.createDataFrame(
+        _clustered_vectors(), "vec_id string, embedding array<double>"
+    )
+    r = ann_recall_at_k(
+        df, k=3, method="ivf", n_cells=8, nprobe=2, sample_rows=100
+    )
+    assert r["rescore_mismatches"] == 0
+    assert r["recall_at_k"] >= 0.9
+
+
+def test_ivf_training_deterministic_and_bounded(spark):
+    import numpy as np
+
+    from propagon_spark.functions.similarity import train_ivf_centroids
+
+    df = spark.createDataFrame(
+        _clustered_vectors(), "vec_id string, embedding array<double>"
+    )
+    c1 = train_ivf_centroids(df, n_cells=8, sample_rows=100, seed=3)
+    c2 = train_ivf_centroids(df, n_cells=8, sample_rows=100, seed=3)
+    assert np.array_equal(c1, c2)
+    assert c1.shape == (8, 32)
+    # spherical k-means keeps centroids unit-norm
+    assert np.allclose(np.linalg.norm(c1, axis=1), 1.0, atol=1e-5)
+    with pytest.raises(ValueError, match="n_cells"):
+        train_ivf_centroids(df.limit(4), n_cells=8, sample_rows=100)
 
 
 def test_embedding_near_duplicates_planted(spark):
