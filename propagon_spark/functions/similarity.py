@@ -271,7 +271,12 @@ def _ivf_assign_udf(centroids: np.ndarray, nprobe: int, dim: int):
             cells = np.take_along_axis(top, order, axis=1)
         return pd.Series(list(cells.astype(np.int32)))
 
-    return assign
+    # the assignment IS deterministic; the marker is an optimizer
+    # barrier: without it Catalyst pushes the join's isnotnull(_cell)
+    # through the projection and re-expands the UDF, evaluating the
+    # whole BLAS assignment TWICE per corpus row (two stacked
+    # ArrowEvalPython nodes in the physical plan)
+    return assign.asNondeterministic()
 
 
 def ivf_cosine_topk(
