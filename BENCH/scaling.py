@@ -92,15 +92,39 @@ spark.stop()
 """
 
 
+def _loadavg() -> float:
+    with open("/proc/loadavg") as f:
+        return float(f.read().split()[0])
+
+
+def _cooldown(max_wait: int = 300, calm: float = 1.0) -> None:
+    """Wait for the 1-min loadavg to decay below ``calm`` before starting
+    a leg (cap ``max_wait`` s). Round-4 lesson: with only a 10 s gap, a
+    2-core leg starts while the PREVIOUS 8-core leg's load is still
+    decaying (recorded leg-start loads of 6-9 with nothing else running)
+    and while the page cache / kswapd are still churning from it — the
+    memory-bus-bound dedup phase swung ±30% repeat-to-repeat because of
+    it. The cool-down makes legs independent, which is also the honest
+    model of separate cluster runs."""
+    waited = 0
+    while _loadavg() >= calm and waited < max_wait:
+        time.sleep(15)
+        waited += 15
+
+
 def run_level(cores: int, sf_dir: str, impl: str) -> dict:
     script = _WORKER.format(repo=REPO)
-    with open("/proc/loadavg") as f:
-        load = float(f.read().split()[0])
+    _cooldown()
+    load = _loadavg()
+    print(f"[scaling] leg start: cores={cores} loadavg={load}", flush=True)
     env = dict(os.environ, PROPAGON_CSR_NBLOCKS=NBLOCKS)
+    t0 = time.time()
     out = subprocess.run(
         [sys.executable, "-c", script, str(cores), sf_dir, impl],
         capture_output=True, text=True, timeout=7200, env=env,
     )
+    print(f"[scaling] leg end: cores={cores} wall={time.time()-t0:.0f}s",
+          flush=True)
     time.sleep(10)  # let the worker JVM's shutdown hooks finish
     for line in out.stdout.splitlines():
         if line.startswith("RESULT "):
@@ -131,37 +155,43 @@ def main() -> None:
     # robust to one contaminated window in either direction). Per-run
     # loadavg is recorded for every run for auditability.
     factor = n4 / n
+    suffix = "" if impl == "csr" else f"_{impl}"
+    out_path = os.path.join(REPO, "BENCH", f"scaling_{n}x{n4}{suffix}.json")
     pairs: list[dict] = []
+    report: dict = {}
     for _ in range(repeats):
         r_lo = run_level(n, sf_dir, impl)
         r_hi = run_level(n4, sf_dir, impl)
         eff = (r_lo["seconds"] / r_hi["seconds"]) / factor
         pairs.append({"low": r_lo, "high": r_hi,
                       "efficiency": round(eff, 3)})
-    effs = sorted(p["efficiency"] for p in pairs)
-    median_eff = effs[len(effs) // 2] if len(effs) % 2 else (
-        effs[len(effs) // 2 - 1] + effs[len(effs) // 2]
-    ) / 2
-    # the phase table and headline come from the SAME pair: the repeat
-    # whose efficiency is (lower-)median, so numbers stay coherent
-    rep = min(pairs, key=lambda p: abs(p["efficiency"] - median_eff))
-    report = {
-        "input": sf_dir,
-        "impl": impl,
-        "nblocks": int(NBLOCKS),
-        "repeats": repeats,
-        "low": rep["low"],
-        "high": rep["high"],
-        "scaling_efficiency": round(median_eff, 3),
-        "efficiency_per_repeat": [p["efficiency"] for p in pairs],
-        "all_runs": pairs,
-        "target": 0.8,
-    }
+        # write after EVERY repeat: a cut-off run still leaves the
+        # completed repeats (and their median) on disk
+        effs = sorted(p["efficiency"] for p in pairs)
+        median_eff = effs[len(effs) // 2] if len(effs) % 2 else (
+            effs[len(effs) // 2 - 1] + effs[len(effs) // 2]
+        ) / 2
+        # the phase table and headline come from the SAME pair: the
+        # repeat whose efficiency is (lower-)median, so numbers cohere
+        rep = min(pairs, key=lambda p: abs(p["efficiency"] - median_eff))
+        report = {
+            "input": sf_dir,
+            "impl": impl,
+            "nblocks": int(NBLOCKS),
+            "repeats": len(pairs),
+            "repeats_requested": repeats,
+            "low": rep["low"],
+            "high": rep["high"],
+            "scaling_efficiency": round(median_eff, 3),
+            "efficiency_per_repeat": [p["efficiency"] for p in pairs],
+            "all_runs": pairs,
+            "target": 0.8,
+        }
+        with open(out_path, "w") as f:
+            json.dump(report, f, indent=1)
+        print(f"[scaling] repeat {len(pairs)}/{repeats} eff={eff:.3f} "
+              f"median-so-far={median_eff:.3f}", flush=True)
     print(json.dumps(report))
-    suffix = "" if impl == "csr" else f"_{impl}"
-    out_path = os.path.join(REPO, "BENCH", f"scaling_{n}x{n4}{suffix}.json")
-    with open(out_path, "w") as f:
-        json.dump(report, f, indent=1)
 
     try:
         sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
