@@ -50,6 +50,12 @@ RC_ITERS = 20
 RW_ITERS = 20
 RW_BIAS = 0.75
 HARMONIC_DEPTH = 4
+#: fixed-source harmonic parity mode: the K lexicographically smallest
+#: vertex names — an SQL-expressible deterministic source set, so the
+#: scaled-estimator math gets an exact oracle (the xxhash64 order-
+#: statistics draw used by ``sample=`` has no DuckDB twin and stays
+#: rows-only)
+HARMONIC_SRC_K = 64
 PR_CONV_STEPS = 60
 
 
@@ -472,6 +478,27 @@ def q_harmonic_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
     return harmonic(g, "total", sample=64, seed=2014)
 
 
+def q_harmonic_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # fixed-source harmonic estimator (parity mode for the sampled
+    # estimator, same scaled n/k accumulation as harmonic.rs:167-204):
+    # sources = the HARMONIC_SRC_K lexicographically smallest vertex
+    # names, chosen so the oracle can derive the identical set in SQL.
+    # Proves the estimator math exactly; only the hash draw itself stays
+    # rows-only (q_harmonic_sampled above).
+    from propagon_spark.graph.harmonic import harmonic
+
+    g = _graph(spark, sf_dir, symmetric=False, min_weight=2)
+    srcs = [
+        r["name"]
+        for r in g.vocab.select("name")
+        .orderBy("name")
+        .limit(HARMONIC_SRC_K)
+        .collect()
+    ]
+    out = harmonic(g, "total", sources=srcs, max_depth=HARMONIC_DEPTH)
+    return out.select("name", F.round("score", 9).alias("score"))
+
+
 def q_rank_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
     from propagon_spark.graph.rank_centrality import rank_centrality
 
@@ -530,6 +557,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "birank_uniform_k2": q_birank_uniform,
         "bootstrap_degree_ci": q_bootstrap_degree,
         "harmonic_sampled": q_harmonic_sampled,
+        "harmonic_src64": q_harmonic_sources,
     }
 
 
@@ -845,6 +873,34 @@ SELECT v.id AS name, ROUND(coalesce(sc.h, 0.0), 9) AS score
 FROM v LEFT JOIN sc USING (id)"""
 
 
+def _harmonic_sources_sql(depth: int, k: int) -> str:
+    """SQL twin of the fixed-source scaled harmonic estimator: BFS from
+    the ``k`` lexicographically smallest vertices, per-(node, depth)
+    reacher counts divided by depth and folded in ascending depth
+    (mirroring _bfs_contrib's per-depth step aggregation in
+    propagon_spark/graph/harmonic.py), then scaled by n/k like the
+    estimator (harmonic.rs:167-204)."""
+    return f"""WITH RECURSIVE {ORACLE_EDGES_CTE},
+ce AS (SELECT src, dst FROM pairs WHERE weight >= 2),
+se AS (SELECT src, dst FROM ce UNION SELECT dst, src FROM ce),
+v AS (SELECT DISTINCT src AS id FROM se),
+s{k} AS (SELECT id FROM v ORDER BY id LIMIT {k}),
+walk(s, nd, d) AS (
+    SELECT id, id, 0 FROM s{k}
+    UNION
+    SELECT w.s, se.dst, w.d + 1 FROM walk w JOIN se ON se.src = w.nd
+    WHERE w.d < {depth}
+),
+mind AS (SELECT s, nd, min(d) AS d FROM walk GROUP BY 1, 2),
+perd AS (SELECT nd AS id, d, CAST(count(*) AS DOUBLE) / d AS hh
+         FROM mind WHERE d > 0 GROUP BY 1, 2),
+sc AS (SELECT id, sum(hh ORDER BY d) AS h FROM perd GROUP BY 1),
+scale AS (SELECT CAST(count(*) AS DOUBLE) / {k}.0 AS f FROM v)
+SELECT v.id AS name,
+       ROUND(coalesce(sc.h, 0.0) * (SELECT f FROM scale), 9) AS score
+FROM v LEFT JOIN sc USING (id)"""
+
+
 _DEGREE_ORACLE = {
     "in": "SELECT dst AS name, sum(weight) AS score FROM pairs GROUP BY 1",
     "out": "SELECT src AS name, sum(weight) AS score FROM pairs GROUP BY 1",
@@ -991,6 +1047,7 @@ def oracle_sql() -> dict[str, str]:
         "katz_k3": _katz_unrolled(KATZ_ALPHA, KATZ_ITERS),
         "leader_rank_k3": _leader_rank_unrolled(LR_ITERS),
         "harmonic_bfs_d4": _harmonic_bfs_sql(HARMONIC_DEPTH),
+        "harmonic_src64": _harmonic_sources_sql(HARMONIC_DEPTH, HARMONIC_SRC_K),
         "rank_centrality": _rank_centrality_unrolled(RC_ITERS),
         "random_walker": _random_walker_unrolled(RW_BIAS, RW_ITERS),
         "components_minw2": f"""WITH RECURSIVE {ORACLE_EDGES_CTE},

@@ -13,13 +13,16 @@ miss; plain worker-side file writes are embarrassingly parallel).
 Each iteration broadcasts the dense rank vector (ids are dense 0..n-1
 by construction — see ids.py) and every bucket task computes its gather
 with a vectorized ``np.bincount`` over its mmapped shard columns inside
-``mapInPandas``. Shards store **bucket-local dst indices**
+an RDD ``mapPartitions`` over the ~nblocks-item bucket→paths control
+list (a DataFrame here re-paid Catalyst planning + Arrow stream setup
+every iteration — ~0.6 s/job of measured core-count-independent fixed
+cost). Shards store **bucket-local dst indices**
 (``dst // nblocks``), so the per-shard accumulator is ``n/nblocks``
 doubles — L2-resident instead of an n-length memset per shard. Because
 each dst belongs to exactly one bucket, each vertex's partial arrives
 from exactly one task: the per-iteration data movement is one n-vector
-broadcast out and one n-row Arrow collect back — **no join and no
-shuffle anywhere in the fit**.
+broadcast out and nblocks dense float64 buffers (8n bytes total)
+collected back — **no join and no shuffle anywhere in the fit**.
 
 This is the right physical strategy while the vertex state fits the
 driver/executor memory (8 bytes/vertex: ~80 MB at 10^7). Beyond
@@ -59,7 +62,6 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.storagelevel import StorageLevel
 
 from propagon_spark.errors import NumericError
 from propagon_spark.graph.core import Graph, sorted_scores
@@ -317,38 +319,44 @@ def _shard_writer_factory(blocks_dir: str, nblocks: int, np_dtype, ext: str):
 
 
 def _gather_factory(n: int, nblocks: int, ext: str, rank_bc, token: str):
-    """Per-task SpMV gather. Each row carries one bucket's ';'-joined
-    shard prefixes / block files (all edges with the same
-    ``dst % nblocks``); buckets partition the dst space, so each dst is
-    owned by exactly one task and the driver can assign (not add) the
-    collected partials. Shards hold bucket-local dst indices, so the
-    accumulator is ceil(n/nblocks) doubles — cache-resident.
+    """Per-partition SpMV gather over the 32-row control RDD. Each item
+    carries one bucket's ';'-joined shard prefixes / block files (all
+    edges with the same ``dst % nblocks``); buckets partition the dst
+    space, so each dst is owned by exactly one task and the driver can
+    assign (not add) the collected partials. Shards hold bucket-local
+    dst indices, so the accumulator is ceil(n/nblocks) doubles —
+    cache-resident.
 
     The task returns its accumulator as ONE dense float64 buffer per
     bucket (~n/nblocks · 8 bytes), not (dst, m) rows: an n-row Arrow
     collect plus pandas frame construction was ~1 s of per-iteration
     FIXED cost at n=10⁶ (measured — the serial term that capped N→4N
-    efficiency once the block write scaled); 32 binary rows assemble on
-    the driver with strided numpy assignment instead."""
+    efficiency once the block write scaled); ~nblocks binary tuples
+    assemble on the driver with strided numpy assignment instead.
+
+    This is a plain RDD ``mapPartitions`` body, not a pandas UDF: the
+    control plane is ~nblocks tiny rows per iteration, and routing them
+    through a DataFrame re-ran Catalyst analysis/optimization/codegen
+    plus Arrow stream setup EVERY iteration — ~0.6 s of measured
+    per-job fixed cost at any core count, the dominant gather term at 8
+    cores (see BENCH/RUNS.md round-4 phase tables). The data plane (the
+    edge blocks, where the 222M-edge SpMV actually runs) stays mmap'd
+    raw columns + ``np.bincount``; only the bucket→paths routing rides
+    the RDD."""
     nlocal = (n + nblocks - 1) // nblocks
 
-    def gather(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def gather(items: Iterator[tuple]) -> Iterator[tuple]:
         pdiv = rank_bc.value  # p·inv_out, division pre-folded on driver
-        for pdf in batches:
-            out_b, out_buf = [], []
-            for bucket, paths in zip(pdf["bucket"], pdf["paths"]):
-                acc = np.zeros(nlocal)
-                for path in paths.split(";"):
-                    src, dstl = _load_block(token, path, nblocks, ext)
-                    if len(dstl) == 0:
-                        continue
-                    acc += np.bincount(
-                        dstl, weights=pdiv[src], minlength=nlocal
-                    )
-                out_b.append(int(bucket))
-                out_buf.append(acc.tobytes())
-            if out_b:
-                yield pd.DataFrame({"bucket": out_b, "buf": out_buf})
+        for bucket, paths in items:
+            acc = np.zeros(nlocal)
+            for path in paths.split(";"):
+                src, dstl = _load_block(token, path, nblocks, ext)
+                if len(dstl) == 0:
+                    continue
+                acc += np.bincount(
+                    dstl, weights=pdiv[src], minlength=nlocal
+                )
+            yield int(bucket), acc.tobytes()
 
     return gather
 
@@ -467,28 +475,24 @@ def pagerank_csr(
             m = re.search(r"bucket=(\d+)", f)
             if m:
                 by_bucket.setdefault(int(m.group(1)), []).append(f)
-    # one row per bucket → exactly one gather task owns each dst range.
+    # one item per bucket → exactly one gather task owns each dst range.
     # TASK granularity is decoupled from the BUCKET layout: a gather task
-    # carries ~85 ms of fixed cost (Python worker round-trip + Arrow
-    # stream setup, measured at 2 cores), so tasks = min(buckets, slots)
-    # and each task folds several buckets sequentially — the layout stays
-    # pinned across parallelism levels while the per-iteration task count
-    # tracks the session's width, exactly as partition tuning would on a
-    # real cluster.
+    # carries fixed cost (Python worker round-trip), so slices =
+    # min(buckets, slots) and each task folds several buckets
+    # sequentially — the layout stays pinned across parallelism levels
+    # while the per-iteration task count tracks the session's width,
+    # exactly as partition tuning would on a real cluster. A plain
+    # parallelized RDD, not a DataFrame: the ~nblocks-row control frame
+    # paid Catalyst re-planning + Arrow stream setup per ITERATION
+    # (~0.6 s/job measured, core-count-independent — see
+    # _gather_factory's docstring); the RDD job ships the same rows in
+    # the task binary with none of that.
     block_rows = [
         (b, ";".join(sorted(ps))) for b, ps in sorted(by_bucket.items())
     ]
-    # coalesce, NOT repartition: a repartition is an Exchange, which made
-    # every iteration's job a TWO-stage AQE plan (materialize 32 rows,
-    # re-optimize, schedule stage 2) — pure fixed cost in the hot loop.
-    # createDataFrame already spreads local rows across defaultParallelism
-    # slices with no shuffle; coalesce merges the empties when the
-    # session is wider than the bucket count.
-    blocks = spark.createDataFrame(
-        block_rows, "bucket int, paths string"
-    ).coalesce(max(1, min(len(block_rows), sc.defaultParallelism)))
-    blocks = blocks.persist(StorageLevel.MEMORY_ONLY)
-    blocks.count()
+    blocks_rdd = sc.parallelize(
+        block_rows, max(1, min(len(block_rows), sc.defaultParallelism))
+    )
     t_blocks = time.monotonic()
 
     # driver-held vertex state ------------------------------------------
@@ -553,9 +557,8 @@ def pagerank_csr(
         rank_bc = sc.broadcast(p * inv_out)
         t_b = time.monotonic()
         timings["bcast_s"] += t_b - t0
-        partials = blocks.mapInPandas(
-            _gather_factory(n, nblocks, ext, rank_bc, token),
-            schema="bucket int, buf binary",
+        partials = blocks_rdd.mapPartitions(
+            _gather_factory(n, nblocks, ext, rank_bc, token)
         ).collect()
         t_g = time.monotonic()
         timings["gather_s"] += t_g - t_b
@@ -563,9 +566,8 @@ def pagerank_csr(
         # to global b + i·nblocks, so each buffer lands as one strided
         # numpy assignment — no row decode, no join
         gathered = np.zeros(n)
-        for row in partials:
-            b = row["bucket"]
-            buf = np.frombuffer(row["buf"], dtype=np.float64)
+        for b, raw in partials:
+            buf = np.frombuffer(raw, dtype=np.float64)
             take = len(gathered[b::nblocks])
             gathered[b::nblocks] = buf[:take]
         rank_bc.destroy()
@@ -608,7 +610,6 @@ def pagerank_csr(
             converged = True
             break
 
-    blocks.unpersist()
     _hadoop_rm(spark, blocks_dir)
     return p, it, converged, metrics, timings
 

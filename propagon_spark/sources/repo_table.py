@@ -96,6 +96,73 @@ def synth_repo_table(
     )
 
 
+#: the production input contract (BASELINE.json input_hint)
+REPO_TABLE_COLUMNS = ("repo", "path", "commit", "lang", "content")
+
+
+def load_repo_table(
+    spark: SparkSession,
+    source: str,
+    columns: tuple[str, ...] = REPO_TABLE_COLUMNS,
+) -> DataFrame:
+    """Load the production repo-files table and validate its contract.
+
+    ``source`` is resolved in order:
+
+    - a catalog table name (``catalog.db.table`` / ``db.table`` /
+      registered view) via ``spark.table`` — this is how the Iceberg
+      production table is addressed once ``spark.sql.catalog.<name>`` is
+      configured on the cluster (the Iceberg runtime jar is a cluster
+      deployment concern, not a code path: ``spark.table`` plans through
+      whatever DataSourceV2 catalog serves the name, so partition
+      pruning / column pushdown on (repo, lang, …) partitions is
+      Catalyst-native);
+    - otherwise a path read with the format inferred from the suffix
+      (``.parquet``/dir → parquet, ``.jsonl``/``.json`` → JSON lines,
+      ``.orc`` → ORC).
+
+    The frame is validated against the input-hint contract: every column
+    in ``columns`` must exist and be string-typed. Extra columns are
+    pruned (column pruning reaches the scan — the 100-TB table's
+    ``content`` column is only read by callers that ask for it; pass
+    ``columns=("repo", "path", "commit")`` for edge derivation to keep
+    the scan at ~3 narrow columns).
+    """
+    from propagon_spark.errors import InvalidParameterError
+
+    looks_like_path = "/" in source or source.endswith(
+        (".parquet", ".json", ".jsonl", ".orc")
+    )
+    if not looks_like_path:
+        df = spark.table(source)
+    elif source.rstrip("/").endswith((".json", ".jsonl")):
+        df = spark.read.json(source)
+    elif source.rstrip("/").endswith(".orc"):
+        df = spark.read.orc(source)
+    else:
+        df = spark.read.parquet(source)
+
+    missing = [c for c in columns if c not in df.columns]
+    if missing:
+        raise InvalidParameterError(
+            f"repo table {source!r} is missing required column(s) "
+            f"{missing}; the input contract is {list(REPO_TABLE_COLUMNS)} "
+            "(BASELINE.json input_hint)"
+        )
+    nonstring = [
+        f.name
+        for f in df.schema.fields
+        if f.name in columns and f.dataType.simpleString() != "string"
+    ]
+    if nonstring:
+        raise InvalidParameterError(
+            f"repo table {source!r} column(s) {nonstring} must be string-"
+            "typed per the input contract; cast upstream if the catalog "
+            "stores them otherwise"
+        )
+    return df.select(*columns)
+
+
 def file_vertex(repo: F.Column | str = "repo", path: F.Column | str = "path") -> F.Column:
     """Stable file vertex name: ``repo || ':' || path`` (SURVEY.md §7.2)."""
     r = F.col(repo) if isinstance(repo, str) else repo

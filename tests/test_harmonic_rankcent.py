@@ -39,6 +39,25 @@ def test_harmonic_sampled_scales(spark):
     g.unpersist()
 
 
+def test_harmonic_explicit_sources_scaled(spark):
+    # path a-b-c-d (total direction), sources {a, d}: contributions
+    #   b: 1/1 (from a) + 1/2 (from d) = 1.5   c: symmetric = 1.5
+    #   a: 1/3 (from d)                         d: 1/3 (from a)
+    # estimator scale = n/k = 4/2 = 2 (harmonic.rs:167-204)
+    g = Graph.from_edges(make_edges(spark, [("a", "b"), ("b", "c"), ("c", "d")]))
+    s = scores_dict(harmonic(g, "total", sources=["a", "d"]))
+    assert s["b"] == pytest.approx(3.0)
+    assert s["c"] == pytest.approx(3.0)
+    assert s["a"] == pytest.approx(2.0 / 3.0)
+    assert s["d"] == pytest.approx(2.0 / 3.0)
+    # unknown source name is a typed error, not a silent drop
+    from propagon_spark.errors import InvalidParameterError
+
+    with pytest.raises(InvalidParameterError):
+        harmonic(g, "total", sources=["a", "nope"])
+    g.unpersist()
+
+
 def pairwise(spark, rows):
     return spark.createDataFrame(
         [(w, l, float(x), 0) for w, l, x in rows],

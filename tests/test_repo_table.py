@@ -8,6 +8,7 @@ from propagon_spark.graph import Graph
 from propagon_spark.graph.pagerank import pagerank
 from propagon_spark.sources.repo_table import (
     derive_edges,
+    load_repo_table,
     synth_repo_table,
     verify_content_sha,
 )
@@ -82,3 +83,34 @@ def test_end_to_end_pagerank_over_derived_graph(spark, repo_df):
     total = sum(r["score"] for r in rows)
     assert abs(total - 1.0) < 1e-6
     g.unpersist()
+
+
+def test_load_repo_table_paths_and_catalog(spark, repo_df, tmp_path):
+    from propagon_spark.errors import InvalidParameterError
+
+    # parquet path round-trip, contract columns only, extra cols pruned
+    p = str(tmp_path / "repo.parquet")
+    repo_df.withColumn("extra", F.lit(1)).write.parquet(p)
+    loaded = load_repo_table(spark, p)
+    assert loaded.columns == ["repo", "path", "commit", "lang", "content"]
+    assert loaded.count() == repo_df.count()
+
+    # narrow-column projection keeps the scan at the asked-for columns
+    narrow = load_repo_table(spark, p, columns=("repo", "path", "commit"))
+    assert narrow.columns == ["repo", "path", "commit"]
+
+    # catalog-name resolution path (Iceberg tables address the same way
+    # once the catalog is configured; in-sandbox a temp view stands in)
+    repo_df.createOrReplaceTempView("repo_files_v")
+    via_table = load_repo_table(spark, "repo_files_v")
+    assert via_table.count() == repo_df.count()
+
+    # contract violations are typed errors
+    repo_df.drop("lang").write.parquet(str(tmp_path / "missing.parquet"))
+    with pytest.raises(InvalidParameterError, match="missing"):
+        load_repo_table(spark, str(tmp_path / "missing.parquet"))
+    repo_df.withColumn("commit", F.lit(1)).write.parquet(
+        str(tmp_path / "badtype.parquet")
+    )
+    with pytest.raises(InvalidParameterError, match="string"):
+        load_repo_table(spark, str(tmp_path / "badtype.parquet"))
