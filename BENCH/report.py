@@ -141,8 +141,14 @@ worker-side shard write straight off the canonical frame's partitions
 encode, no Hadoop commit protocol; round 2's JVM dynamic-partitioned
 write spent ~70 s FLAT at 2/8/32 cores in the driver-serial
 commit/rename, which was the entire previous scaling miss), and each
-iteration is broadcast → per-bucket local-index bincount SpMV → n-row
-Arrow collect. The join kernel is ordinary scatter-join + gather-agg
+iteration is broadcast → per-bucket local-index bincount SpMV → nblocks
+dense float64 buffers collected (8n bytes total). The per-iteration
+control plane is a parallelized RDD mapPartitions over the ~nblocks
+bucket→paths rows, not a DataFrame: a DataFrame job re-paid Catalyst
+planning + Arrow stream setup every iteration (~0.6 s/job measured,
+core-count-independent — the round-4b miss); the RDD job sits at the
+framework's ~0.25 s local job floor. The join kernel is ordinary
+scatter-join + gather-agg
 dataflow; its per-iteration shuffle is the shape a real cluster
 distributes across nodes. What stops scaling on ONE box at wide levels
 is the shared memory bus (the SpMV streams all edge bytes per
