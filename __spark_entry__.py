@@ -9,10 +9,12 @@ derivation as SURVEY.md §7.2; see
 (pagerank/ppr/hits/katz/leader-rank/rank-centrality/random-walker) are
 oracled by UNROLLING the power steps into chained DuckDB CTEs —
 multiply-referenced step CTEs are ``MATERIALIZED`` or DuckDB inlines
-them 2^k-fold. Only genuinely RNG- or fixpoint-bound operators (k-core
-peel, converged PageRank, MinHash/SimHash signatures + the cluster
-operator riding them, bootstrap resampling, sampled harmonic) are
-registered without an oracle (rows-only check).
+them 2^k-fold. MinHash/SimHash near-dup and the cluster operator are
+oracled by replaying their deterministic signature arithmetic in
+HUGEINT (see _minhash_pair_ctes). Only genuinely RNG- or fixpoint-bound
+operators (converged PageRank, random-init BiRank, bootstrap
+resampling, sampled harmonic, embedding near-dup's float hyperplanes)
+are registered without an oracle (rows-only check).
 
 Float-valued results are rounded to 9 decimals on BOTH sides: the math
 is arranged so both engines fold doubles in the same order, and the
@@ -386,9 +388,12 @@ def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # exact HUGEINT-arithmetic twin (see _minhash_pair_ctes): the whole
+    # signature pipeline is deterministic integer math, so this is
+    # oracle-checked, not rows-only
     from propagon_spark.functions.dedup import minhash_near_duplicates
 
-    return minhash_near_duplicates(_doc(spark, sf_dir), threshold=0.5)
+    return minhash_near_duplicates(_doc(spark, sf_dir), threshold=MINHASH_THRESHOLD)
 
 
 NGRAM_N = 3
@@ -406,19 +411,21 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # 64-bit SimHash + 4-block pigeonhole (signature hash stream has no
-    # SQL twin ⇒ rows-only, like minhash)
+    # 64-bit SimHash + 4-block pigeonhole bucket join; exact HUGEINT
+    # twin in _simhash_neardup_sql (majority vote replayed per bit)
     from propagon_spark.functions.dedup import simhash_near_duplicates
 
-    return simhash_near_duplicates(_doc(spark, sf_dir), max_hamming=8)
+    return simhash_near_duplicates(
+        _doc(spark, sf_dir), max_hamming=SIMHASH_MAX_HAMMING
+    )
 
 
 def q_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # minhash pairs → connected-components clusters (RNG-hashed
-    # signatures ⇒ rows-only, like minhash_neardup)
+    # minhash pairs → connected-components clusters; exact twin rides
+    # the minhash CTEs + a recursive-CTE closure (_neardup_clusters_sql)
     from propagon_spark.functions.dedup import near_duplicate_clusters
 
-    return near_duplicate_clusters(_doc(spark, sf_dir), threshold=0.5)
+    return near_duplicate_clusters(_doc(spark, sf_dir), threshold=MINHASH_THRESHOLD)
 
 
 def _birank_input(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1010,6 +1017,178 @@ FROM documents d
 LEFT JOIN (SELECT doc_id, MIN(hs) AS fp FROM h GROUP BY 1) m USING (doc_id)"""
 
 
+# ---- MinHash / SimHash near-dup twins ---------------------------------
+#
+# The near-dup paths (functions/dedup.py) are deterministic integer
+# arithmetic end-to-end: a degree-4 FNV-prime polynomial shingle hash
+# mod 2^64 (_shingle_set), affine (a·x+b) mod 2^64 mod (2^61−1) MinHash
+# permutations with RandomState(42) constants, and majority-vote
+# SimHash over the same shingle universe. DuckDB replays all of it in
+# HUGEINT modular arithmetic — the same trick as _fingerprint_sql, and
+# the same all-ASCII-corpus precondition (ord(substr()) == UTF-8 byte;
+# verified 0 multibyte docs at every sf). The single non-emulatable op,
+# xxhash64 band bucketing (dedup.py:124), is only an implementation
+# detail of candidate generation: membership in the output depends on
+# "all 4 signature values of some band are equal", which the twins test
+# directly; a 64-bit xxhash collision between unequal band slices is
+# the sole divergence mode (probability ~n²·bands/2^64).
+
+_SHINGLE_K = 5
+_MINHASH_NUM = 64
+_MINHASH_BANDS = 16
+_MINHASH_SEED = 42
+MINHASH_THRESHOLD = 0.5
+SIMHASH_MAX_HAMMING = 8
+_FNV_PRIME = 1099511628211
+_M64 = "18446744073709551616::HUGEINT"  # 2^64
+
+
+def _neardup_shingle_ctes() -> str:
+    """CTEs ending in ``sh(doc_id, hu)``: distinct 5-byte-window FNV
+    hashes per eligible doc, Horner recurrence with % 2^64 after every
+    multiply-add (mirrors dedup.py _shingle_set's uint64 wraparound)."""
+    expr = "ord(substr(text, i, 1))::HUGEINT"
+    for j in range(1, _SHINGLE_K):
+        expr = (
+            f"(({expr}) * {_FNV_PRIME}::HUGEINT"
+            f" + ord(substr(text, i+{j}, 1))::HUGEINT) % {_M64}"
+        )
+    return f"""elig AS (
+    SELECT doc_id, text FROM documents WHERE length(text) >= {_SHINGLE_K}),
+w AS (
+    SELECT e.doc_id, e.text, t.i
+    FROM elig e,
+         LATERAL (SELECT unnest(range(1, length(e.text) - {_SHINGLE_K - 2}))
+                  AS i) t),
+sh AS (
+    SELECT DISTINCT doc_id, ({expr}) AS hu FROM w)"""
+
+
+def _minhash_pair_ctes() -> str:
+    """CTE chain ending in ``est(a, b, est_jaccard)`` — the thresholded
+    MinHash near-dup pairs. The (a, b) permutation constants are drawn
+    from the SAME RandomState(42) stream _minhash_udf uses, so the twin
+    stays in lockstep with dedup.py by construction."""
+    import numpy as np
+
+    from propagon_spark.functions.dedup import _MERSENNE
+
+    rows = _MINHASH_NUM // _MINHASH_BANDS
+    rng = np.random.RandomState(_MINHASH_SEED)
+    pa = rng.randint(1, _MERSENNE, size=_MINHASH_NUM, dtype=np.int64)
+    pb = rng.randint(0, _MERSENNE, size=_MINHASH_NUM, dtype=np.int64)
+    perms = ",\n        ".join(
+        f"({i}, {int(pa[i])}::HUGEINT, {int(pb[i])}::HUGEINT)"
+        for i in range(_MINHASH_NUM)
+    )
+    band_cols = ",\n           ".join(
+        f"MIN(CASE WHEN idx % {rows} = {r} THEN v END) AS v{r}"
+        for r in range(rows)
+    )
+    band_keys = ", ".join(f"v{r}" for r in range(rows))
+    return f"""{_neardup_shingle_ctes()},
+perms(idx, pa, pb) AS (
+    VALUES {perms}),
+mh AS (
+    SELECT sh.doc_id, p.idx,
+           CAST(MIN((((p.pa * sh.hu) % {_M64} + p.pb) % {_M64})
+                    % {_MERSENNE}::HUGEINT) AS BIGINT) AS v
+    FROM sh CROSS JOIN perms p
+    GROUP BY sh.doc_id, p.idx),
+bnd AS (
+    SELECT doc_id, idx // {rows} AS band,
+           {band_cols}
+    FROM mh GROUP BY doc_id, idx // {rows}),
+cand AS (
+    SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+    FROM bnd x JOIN bnd y USING (band, {band_keys})
+    WHERE x.doc_id < y.doc_id),
+est AS (
+    SELECT c.a, c.b,
+           SUM(CASE WHEN ma.v = mb.v THEN 1 ELSE 0 END) / {_MINHASH_NUM}.0
+               AS est_jaccard
+    FROM cand c
+    JOIN mh ma ON ma.doc_id = c.a
+    JOIN mh mb ON mb.doc_id = c.b AND mb.idx = ma.idx
+    GROUP BY c.a, c.b
+    HAVING est_jaccard >= {MINHASH_THRESHOLD})"""
+
+
+def _minhash_neardup_sql() -> str:
+    return f"""WITH {_minhash_pair_ctes()}
+SELECT a, b, est_jaccard FROM est"""
+
+
+def _simhash_neardup_sql() -> str:
+    """SQL twin of simhash_near_duplicates(max_hamming=8): majority-vote
+    64-bit SimHash over the shingle hashes, 4×16-bit block-bucket
+    candidate join (NOT lossless at hamming 8 — pigeonhole only covers
+    ≤3 — so the twin reproduces the block-sharing condition, not plain
+    hamming ≤ 8), then exact two's-complement bit_count(xor) verify."""
+    pows = ",\n        ".join(f"({i}, {1 << i}::HUGEINT)" for i in range(64))
+    pow16 = ",\n        ".join(
+        f"({i}, {1 << (16 * i)}::HUGEINT)" for i in range(4)
+    )
+    return f"""WITH {_neardup_shingle_ctes()},
+nsh AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+pw(bit, p2) AS (
+    VALUES {pows}),
+votes AS (
+    SELECT sh.doc_id, pw.bit, pw.p2,
+           SUM(CASE WHEN (sh.hu // pw.p2) % 2 = 1 THEN 1 ELSE 0 END) AS v
+    FROM sh CROSS JOIN pw GROUP BY sh.doc_id, pw.bit, pw.p2),
+sigu AS (
+    SELECT v.doc_id,
+           SUM(CASE WHEN v.v * 2 > n.n THEN v.p2 ELSE 0::HUGEINT END) AS su
+    FROM votes v JOIN nsh n USING (doc_id) GROUP BY v.doc_id),
+sigs AS (
+    SELECT doc_id, su,
+           CAST(CASE WHEN su >= 9223372036854775808::HUGEINT
+                     THEN su - {_M64} ELSE su END AS BIGINT) AS sim
+    FROM sigu),
+blk(blk, p16) AS (
+    VALUES {pow16}),
+blocks AS (
+    SELECT s.doc_id, s.sim, b.blk,
+           CAST((s.su // b.p16) % 65536 AS BIGINT) AS key
+    FROM sigs s CROSS JOIN blk b),
+cand AS (
+    SELECT DISTINCT x.doc_id AS a, x.sim AS ha, y.doc_id AS b, y.sim AS hb
+    FROM blocks x JOIN blocks y ON x.blk = y.blk AND x.key = y.key
+    WHERE x.doc_id < y.doc_id)
+SELECT a, b, CAST(bit_count(xor(ha, hb)) AS INTEGER) AS hamming
+FROM cand WHERE bit_count(xor(ha, hb)) <= {SIMHASH_MAX_HAMMING}"""
+
+
+def _neardup_clusters_sql() -> str:
+    """SQL twin of near_duplicate_clusters: MinHash pairs → min-label
+    transitive closure (recursive CTE, like the components twin) →
+    min-STRING-id representative + size, singletons coalesced. The pair
+    CTEs are MATERIALIZED — inlined they would re-run the whole MinHash
+    pipeline on every recursion step. String ids mirror the operator's
+    cast-to-string vocab (name-ordered dense ids ⇒ rep = min VARCHAR)."""
+    return f"""WITH RECURSIVE {_minhash_pair_ctes()},
+prs AS MATERIALIZED (
+    SELECT CAST(a AS VARCHAR) AS a, CAST(b AS VARCHAR) AS b FROM est),
+se AS MATERIALIZED (
+    SELECT a AS s, b AS d FROM prs UNION SELECT b, a FROM prs),
+vx AS (SELECT DISTINCT s AS id FROM se),
+reach(id, r) AS (
+    SELECT id, id FROM vx
+    UNION
+    SELECT se.d, reach.r FROM reach JOIN se ON se.s = reach.id),
+comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id),
+sizes AS (SELECT component, CAST(count(*) AS BIGINT) AS sz
+          FROM comp GROUP BY component),
+clustered AS (
+    SELECT c.id AS did, c.component AS rep, s.sz
+    FROM comp c JOIN sizes s USING (component))
+SELECT CAST(d.doc_id AS VARCHAR) AS doc_id,
+       COALESCE(cl.rep, CAST(d.doc_id AS VARCHAR)) AS cluster_rep,
+       COALESCE(cl.sz, 1::BIGINT) AS cluster_size
+FROM documents d LEFT JOIN clustered cl ON CAST(d.doc_id AS VARCHAR) = cl.did"""
+
+
 #: exact cosine top-5 — the oracle for BOTH the brute-force query and
 #: the IVF full-probe query (which is exhaustive by construction)
 _ANN_TOPK_SQL = """WITH e AS (
@@ -1166,4 +1345,7 @@ SELECT doc_id, {_LANG_CASE} AS lang_pred FROM scores""",
         # IVF full-probe is exhaustive by construction, so the exact
         # brute-force oracle gates it too (see q_ann_ivf_topk)
         "ann_ivf_topk": _ANN_TOPK_SQL,
+        "minhash_neardup": _minhash_neardup_sql(),
+        "simhash_neardup": _simhash_neardup_sql(),
+        "neardup_clusters": _neardup_clusters_sql(),
     }
