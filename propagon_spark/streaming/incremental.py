@@ -13,6 +13,9 @@ fit_warm"). The Spark equivalents:
   updated edge table starting from a previous run's ranks instead of the
   teleport vector (contract: never worse than a cold fit,
   ``traits.rs:107-118``).
+- :class:`StreamingPageRankRefit` — the end-to-end ``OnlineRanker``
+  shape: ``readStream`` edge micro-batches → ``foreachBatch`` bronze
+  append → per-trigger warm refit from the previous period's scores.
 """
 
 from __future__ import annotations
@@ -78,3 +81,112 @@ def pagerank_warm(
         resume=True,
         **kwargs,
     )
+
+
+class StreamingPageRankRefit:
+    """Periodic PageRank over a live edge stream — the Spark-native shape
+    of the reference's ``OnlineRanker`` (``traits.rs:127-148``: per-period
+    refits, never incremental score updates; PRD FR-5 maps PageRank to
+    warm-start batch refit only).
+
+    Wire it as the ``foreachBatch`` sink of any streaming edge source::
+
+        refit = StreamingPageRankRefit(spark, work_dir, sink="uniform")
+        q = refit.attach(edge_stream)        # or .process_batch directly
+        q.awaitTermination()
+        refit.scores                         # (name, score) of last period
+
+    Per micro-batch: (1) append the batch to a bronze parquet edge table
+    (write-only, no shuffle); (2) rebuild the graph from the full table;
+    (3) refit — cold on the first period, warm from the previous
+    period's scores after (transfer is BY NAME through the new vocab:
+    dense ids shift when new vertices intern, and PageRank's fixpoint is
+    init-independent, so name transfer is both correct and maximally
+    warm). Each period checkpoints under its own subdirectory, so a
+    killed period resumes mid-convergence like any batch fit.
+
+    At 100 TB the bronze append is the standard ingest pattern (parquet
+    append partitions by arrival; the per-period ``Graph.from_edges``
+    re-canonicalizes with the same one-shuffle dedup the batch path
+    uses). The per-period metrics list carries (period, edge rows,
+    iterations, converged) — the convergence log the north rule asks for.
+    """
+
+    def __init__(
+        self,
+        spark,
+        work_dir: str,
+        src: str = "src",
+        dst: str = "dst",
+        weight: str | None = "weight",
+        **pagerank_kwargs,
+    ):
+        import os
+
+        self.spark = spark
+        self.work_dir = work_dir
+        self.edges_dir = os.path.join(work_dir, "bronze_edges")
+        self.scores_dir = os.path.join(work_dir, "scores")
+        self.ck_root = os.path.join(work_dir, "pagerank_ck")
+        self.src, self.dst, self.weight = src, dst, weight
+        self.pagerank_kwargs = pagerank_kwargs
+        self.scores: DataFrame | None = None  # (name, score), last period
+        self.periods: list[dict] = []
+
+    def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        """foreachBatch body — also callable directly for batch replay."""
+        import os
+
+        from propagon_spark.graph.pagerank import pagerank
+
+        if batch_df.isEmpty():
+            return
+        batch_df.write.mode("append").parquet(self.edges_dir)
+
+        edges = self.spark.read.parquet(self.edges_dir)
+        w = self.weight if self.weight in edges.columns else None
+        g = Graph.from_edges(edges, src=self.src, dst=self.dst, weight=w)
+        kwargs = dict(self.pagerank_kwargs)
+        kwargs.setdefault("checkpoint_dir", os.path.join(self.ck_root, f"p{batch_id}"))
+        if self.scores is None:
+            res = pagerank(g, **kwargs)
+        else:
+            prev = (
+                g.vocab.join(self.scores, "name", "left")
+                .select("id", F.coalesce("score", F.lit(0.0)).alias("rank"))
+            )
+            res = pagerank_warm(g, prev, **kwargs)
+
+        # persist the period scores durably and re-read: the next period's
+        # warm join must not drag this period's full lineage (or its
+        # now-superseded checkpoints) behind it
+        out = os.path.join(self.scores_dir, f"p{batch_id}")
+        res.scores.write.mode("overwrite").parquet(out)
+        self.scores = self.spark.read.parquet(out)
+        self.periods.append(
+            {
+                "period": int(batch_id),
+                "edge_rows": g.edges.count(),
+                "iterations": res.iterations,
+                "converged": res.converged,
+            }
+        )
+        # this period's interned frames are dead weight once scores are
+        # on disk — drop them before the next trigger's graph arrives
+        g.unpersist()
+
+    def attach(self, edge_stream: DataFrame, query_name: str = "pagerank_refit"):
+        """Start the stream: returns the StreamingQuery. The streaming
+        checkpoint (source offsets / batch ids) lives beside the bronze
+        table so a restarted query resumes at the right micro-batch."""
+        import os
+
+        return (
+            edge_stream.writeStream.foreachBatch(self.process_batch)
+            .queryName(query_name)
+            .option(
+                "checkpointLocation", os.path.join(self.work_dir, "stream_ck")
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
