@@ -123,13 +123,18 @@ def run_level(cores: int, sf_dir: str, impl: str) -> dict:
         [sys.executable, "-c", script, str(cores), sf_dir, impl],
         capture_output=True, text=True, timeout=7200, env=env,
     )
-    print(f"[scaling] leg end: cores={cores} wall={time.time()-t0:.0f}s",
-          flush=True)
+    load_end = _loadavg()
+    print(f"[scaling] leg end: cores={cores} wall={time.time()-t0:.0f}s "
+          f"loadavg_end={load_end}", flush=True)
     time.sleep(10)  # let the worker JVM's shutdown hooks finish
     for line in out.stdout.splitlines():
         if line.startswith("RESULT "):
             r = json.loads(line[len("RESULT "):])
             r["loadavg_at_start"] = load
+            # end-of-leg load: in-leg neighbor contamination that the
+            # start sample misses (round-4c lesson: repeat 3's 8-core
+            # shard write stalled 10s->52s with a calm start sample)
+            r["loadavg_at_end"] = load_end
             return r
     log = os.path.join(REPO, "BENCH", f"worker_fail_{cores}.log")
     with open(log, "w") as f:
@@ -159,9 +164,20 @@ def main() -> None:
     out_path = os.path.join(REPO, "BENCH", f"scaling_{n}x{n4}{suffix}.json")
     pairs: list[dict] = []
     report: dict = {}
-    for _ in range(repeats):
-        r_lo = run_level(n, sf_dir, impl)
-        r_hi = run_level(n4, sf_dir, impl)
+    for i in range(repeats):
+        # Alternate leg ORDER across repeats (low-first on even repeats,
+        # high-first on odd): round-4c showed a monotone warm-up drift
+        # over a suite (page cache + JIT state) that always favors
+        # whichever level runs LATER — a fixed low-then-high order
+        # converts that drift into a one-sided efficiency bias. Order
+        # alternation makes the drift hit both levels symmetrically
+        # across the median.
+        if i % 2 == 0:
+            r_lo = run_level(n, sf_dir, impl)
+            r_hi = run_level(n4, sf_dir, impl)
+        else:
+            r_hi = run_level(n4, sf_dir, impl)
+            r_lo = run_level(n, sf_dir, impl)
         eff = (r_lo["seconds"] / r_hi["seconds"]) / factor
         pairs.append({"low": r_lo, "high": r_hi,
                       "efficiency": round(eff, 3)})
