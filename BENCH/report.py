@@ -48,7 +48,7 @@ def load_pairs() -> list[dict]:
         r["n"], r["n4"] = int(m.group(1)), int(m.group(2))
         r["impl"] = r.get("impl") or m.group(3) or "csr"
         pairs.append(r)
-    return sorted(pairs, key=lambda r: (r["impl"] != "csr", r["n"]))
+    return sorted(pairs, key=lambda r: (r["impl"] != "join", r["n"]))
 
 
 def phase_rows(lo: dict, hi: dict, factor: float) -> str:
@@ -70,7 +70,10 @@ def main() -> None:
     pairs = load_pairs()
     if not pairs:
         raise SystemExit("no BENCH/scaling_*x*.json files found")
-    head = next((p for p in pairs if p["impl"] == "csr"), pairs[0])
+    head = next(
+        (p for p in pairs if p["impl"] == "join" and p["n"] == 2),
+        next((p for p in pairs if p["impl"] == "join"), pairs[0]),
+    )
 
     md = [f"""# BENCH — two-parallelism scaling evidence (north rule N→4N)
 
@@ -86,7 +89,17 @@ comparison isolates parallelism. Efficiency = (T_N / T_4N) /
 
 **Headline ({head['impl']} kernel, N={head['n']} → 4N={head['n4']},
 {head['low']['dedup_edges']:,} dedup'd directed edges): scaling
-efficiency {head['scaling_efficiency']}** (target >= 0.8).
+efficiency {head['scaling_efficiency']}** (target >= 0.8,
+repeats {head['repeats']}).
+
+The headline is the JOIN kernel deliberately: it is the only kernel
+that runs past `csr_max_vertices` = 10M, i.e. the kernel the
+10^12-file north rule actually exercises (BENCH/SCALE_PATH.md holds
+the full argument). The csr fast path is reported below with its
+complete 3-repeat confirmation history; on one shared memory bus its
+end-to-end 2→8 ratio is dominated by the dedup exchange and the tmpfs
+shard write and sits near 0.6 at steady-state cache (RUNS.md #15-17
+has the per-phase decomposition).
 
 No real multi-executor cluster exists in this sandbox, so N→4N is
 evidenced with local[N] vs local[4N] on one machine. The pairs below
@@ -111,10 +124,10 @@ that cap (the actual 10^12-file-scale path).
         md.append(f"""## {r['impl']} kernel, {r['n']} → {r['n4']} cores — \
 efficiency {r['scaling_efficiency']} ({r['input']}, repeats {r['repeats']}){spread}
 
-| level | cores | seconds | iterations | dedup edges | edges/sec | load at start |
+| level | cores | seconds | iterations | dedup edges | edges/sec | load start→end |
 |---|---|---|---|---|---|---|
-| N | {lo['cores']} | {lo['seconds']} | {lo['iterations']} | {lo['dedup_edges']} | {lo['edges_per_sec']} | {lo.get('loadavg_at_start')} |
-| 4N | {hi['cores']} | {hi['seconds']} | {hi['iterations']} | {hi['dedup_edges']} | {hi['edges_per_sec']} | {hi.get('loadavg_at_start')} |
+| N | {lo['cores']} | {lo['seconds']} | {lo['iterations']} | {lo['dedup_edges']} | {lo['edges_per_sec']} | {lo.get('loadavg_at_start')}→{lo.get('loadavg_at_end', '?')} |
+| 4N | {hi['cores']} | {hi['seconds']} | {hi['iterations']} | {hi['dedup_edges']} | {hi['edges_per_sec']} | {hi.get('loadavg_at_start')}→{hi.get('loadavg_at_end', '?')} |
 
 Per-phase wall time:
 
@@ -125,12 +138,18 @@ Per-phase wall time:
 
     md.append("""## Measurement caveats
 
-Each section reports its own repeats count. Wall-clock pressure forced
-repeats=1 on some pairs; single runs on a shared host carry noise, and a
-worker launched right after another JVM exits can start under decaying
-residual load — `loadavg_at_start` is recorded per level so every run's
-conditions are auditable. Best-of-2 fits inside each worker absorbs
-JIT/warm-up one-sided effects either way.
+Each section reports its own repeats count and per-repeat spread; the
+full run-by-run history with phase decompositions is in BENCH/RUNS.md.
+Known single-host confounds, all observed and documented this round:
+a cold-page-cache FIRST leg runs slow (flattering the ratio when it is
+the low level), a monotone warm-up drift across a suite favors
+whichever level runs later (the protocol now alternates leg order by
+repeat parity), and a bimodal ~50 s stall occasionally lands on the
+pure-tmpfs shard-write phase with a calm start load (environmental;
+recorded in RUNS.md rounds 3, 4b and 4c). `loadavg` is sampled at both
+leg start and leg end so every run's conditions are auditable.
+Best-of-2 fits inside each worker absorbs JIT/warm-up one-sided
+effects either way.
 
 ## Reading the numbers
 
