@@ -317,6 +317,20 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("a", "b", F.round("cosine", 9).alias("cosine"))
 
 
+def q_embedding_neardup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # exact all-pairs mode: same Catalyst cosine expression, threshold
+    # applied directly (no LSH candidate generation, no k cap) — the
+    # oracle-checkable twin of the LSH path above (DuckDB
+    # list_cosine_similarity over every a < b pair)
+    from propagon_spark.functions.similarity import embedding_near_duplicates
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    out = embedding_near_duplicates(emb, threshold=0.4, method="exact")
+    return out.select("a", "b", F.round("cosine", 9).alias("cosine"))
+
+
 def q_hits_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     from propagon_spark.graph.hits import hits
 
@@ -547,6 +561,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
         "embedding_neardup": q_embedding_neardup,
+        "embedding_neardup_exact": q_embedding_neardup_exact,
         "pagerank_conv60": q_pagerank_conv60,
         "hits_k2": q_hits_k,
         "katz_k3": q_katz_k,
@@ -1189,6 +1204,16 @@ SELECT CAST(d.doc_id AS VARCHAR) AS doc_id,
 FROM documents d LEFT JOIN clustered cl ON CAST(d.doc_id AS VARCHAR) = cl.did"""
 
 
+#: exact embedding near-dup pairs: every a < b pair with cosine >= 0.4
+#: (thresholds/keys mirror q_embedding_neardup_exact)
+_EMB_NEARDUP_EXACT_SQL = """WITH e AS (
+    SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings)
+SELECT a.vec_id AS a, b.vec_id AS b,
+       ROUND(list_cosine_similarity(a.emb, b.emb), 9) AS cosine
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.emb, b.emb) >= 0.4"""
+
+
 #: exact cosine top-5 — the oracle for BOTH the brute-force query and
 #: the IVF full-probe query (which is exhaustive by construction)
 _ANN_TOPK_SQL = """WITH e AS (
@@ -1342,6 +1367,7 @@ FROM feat""",
 scores AS (SELECT doc_id, {lang_scores} FROM padded)
 SELECT doc_id, {_LANG_CASE} AS lang_pred FROM scores""",
         "ann_cosine_topk": _ANN_TOPK_SQL,
+        "embedding_neardup_exact": _EMB_NEARDUP_EXACT_SQL,
         # IVF full-probe is exhaustive by construction, so the exact
         # brute-force oracle gates it too (see q_ann_ivf_topk)
         "ann_ivf_topk": _ANN_TOPK_SQL,

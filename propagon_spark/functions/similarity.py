@@ -416,21 +416,53 @@ def embedding_near_duplicates(
     threshold: float = 0.95,
     k: int = 1000,
     warn_on_truncation: bool = True,
+    method: str = "lsh",
     **lsh_kwargs,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs (a < b, cosine ≥ threshold) via the
-    LSH candidate path.
+    LSH candidate path (default) or exact all-pairs (``method="exact"``).
 
-    ``k`` caps the neighbors considered PER QUERY: a duplicate cluster
-    larger than ``k`` loses pairs (its members each report only their
-    ``k`` nearest). By default a saturating query triggers a one-time
-    warning. NOTE: the saturation check is an EAGER job — it runs the
-    candidate generation at call time (and the caller's own action
-    recomputes it: nothing stays cached). Pass
+    ``method="exact"`` scores every a < b pair with the same Catalyst
+    cosine expression and applies the threshold directly — no candidate
+    cap, no ``k`` truncation, O(n²): the labeled correctness baseline
+    (and the SQL-oracle-checkable twin of the LSH path). Use it on
+    bounded samples; LSH is the scale path.
+
+    ``k`` caps the neighbors considered PER QUERY (LSH path only): a
+    duplicate cluster larger than ``k`` loses pairs (its members each
+    report only their ``k`` nearest). By default a saturating query
+    triggers a one-time warning. NOTE: the saturation check is an EAGER
+    job — it runs the candidate generation at call time (and the
+    caller's own action recomputes it: nothing stays cached). Pass
     ``warn_on_truncation=False`` and raise ``k`` instead when clusters
     are expected to be huge or call-time work is unwanted. No silent
     caps.
     """
+    if method == "exact":
+        lhs = with_norm(df, vec_col).select(
+            F.col(id_col).alias("a"),
+            F.col(vec_col).alias("_av"),
+            F.col("_norm").alias("_an"),
+        )
+        rhs = with_norm(df, vec_col).select(
+            F.col(id_col).alias("b"),
+            F.col(vec_col).alias("_bv"),
+            F.col("_norm").alias("_bn"),
+        )
+        return (
+            lhs.join(rhs, F.col("a") < F.col("b"))
+            .select(
+                "a",
+                "b",
+                (
+                    _dot(F.col("_av"), F.col("_bv"))
+                    / (F.col("_an") * F.col("_bn"))
+                ).alias("cosine"),
+            )
+            .where(F.col("cosine") >= threshold)
+        )
+    if method != "lsh":
+        raise ValueError(f"unknown near-dup method {method!r}")
     nn = lsh_cosine_topk(df, vec_col, id_col, k=k, **lsh_kwargs)
     above = nn.where(F.col("cosine") >= threshold)
     if warn_on_truncation:

@@ -258,6 +258,44 @@ def test_embedding_near_duplicates_planted(spark):
     assert found == planted
 
 
+def test_embedding_near_duplicates_exact_mode(spark):
+    # method="exact" scores every a<b pair: no candidate generation, no
+    # k cap — it must (1) find the planted duplicates, (2) be a superset
+    # of whatever the LSH path returns at the same threshold, and (3)
+    # recover a full clique that a small k truncates on the LSH path
+    import numpy as np
+    import pytest
+
+    from propagon_spark.functions.similarity import embedding_near_duplicates
+
+    rng = np.random.RandomState(11)
+    base = rng.standard_normal((40, 16))
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(base)]
+    planted = {(0, 40), (1, 41), (2, 42)}
+    for a, b in sorted(planted):
+        rows.append((b, rows[a][1]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    exact = embedding_near_duplicates(df, threshold=0.95, method="exact").collect()
+    assert {(r["a"], r["b"]) for r in exact} == planted
+    assert all(r["cosine"] >= 0.95 for r in exact)
+    lsh = embedding_near_duplicates(
+        df, threshold=0.95, num_planes=8, num_tables=4
+    ).collect()
+    assert {(r["a"], r["b"]) for r in lsh} <= {(r["a"], r["b"]) for r in exact}
+
+    v = rng.standard_normal(16)
+    clique = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i in range(8)],
+        "vec_id long, embedding array<double>",
+    )
+    assert (
+        embedding_near_duplicates(clique, threshold=0.95, method="exact").count()
+        == 28  # C(8,2): exact mode has no k truncation
+    )
+    with pytest.raises(ValueError, match="method"):
+        embedding_near_duplicates(df, method="simhash")
+
+
 def test_embedding_near_duplicates_k_cap_exposed(spark, caplog):
     # a duplicate cluster LARGER than k loses pairs — the cap is exposed
     # and saturation triggers a warning (no-silent-caps rule); a big
