@@ -40,15 +40,19 @@ _CSR_ONLY_AGG = "setup_s"
 def load_pairs() -> list[dict]:
     pairs = []
     for path in sorted(glob.glob(os.path.join(BENCH, "scaling_*x*.json"))):
-        m = re.search(r"scaling_(\d+)x(\d+)(?:_([a-z]+))?\.json$", path)
+        m = re.search(r"scaling_(\d+)x(\d+)(?:_([a-z-]+))?\.json$", path)
         if not m:
             continue
         with open(path) as f:
             r = json.load(f)
         r["n"], r["n4"] = int(m.group(1)), int(m.group(2))
-        r["impl"] = r.get("impl") or m.group(3) or "csr"
+        # filename suffix is "<impl>" or "<impl>-<input-tag>"
+        r["impl"] = r.get("impl") or (m.group(3) or "csr").split("-")[0]
         pairs.append(r)
-    return sorted(pairs, key=lambda r: (r["impl"] != "join", r["n"]))
+    return sorted(
+        pairs,
+        key=lambda r: (r["impl"] != "join", r.get("input") != "synth", r["n"]),
+    )
 
 
 def phase_rows(lo: dict, hi: dict, factor: float) -> str:
@@ -71,7 +75,8 @@ def main() -> None:
     if not pairs:
         raise SystemExit("no BENCH/scaling_*x*.json files found")
     head = next(
-        (p for p in pairs if p["impl"] == "join" and p["n"] == 2),
+        (p for p in pairs
+         if p["impl"] == "join" and p["n"] == 2 and p.get("input") == "synth"),
         next((p for p in pairs if p["impl"] == "join"), pairs[0]),
     )
 
@@ -121,8 +126,10 @@ that cap (the actual 10^12-file-scale path).
                       f"{', '.join(str(e) for e in per_rep)} "
                       f"(median reported; the tables below show the "
                       f"median repeat's own pair of runs).")
+        nv = lo.get("vertices")
+        vtag = f", {nv:,} vertices" if nv else ""
         md.append(f"""## {r['impl']} kernel, {r['n']} → {r['n4']} cores — \
-efficiency {r['scaling_efficiency']} ({r['input']}, repeats {r['repeats']}){spread}
+efficiency {r['scaling_efficiency']} ({r['input']}{vtag}, repeats {r['repeats']}){spread}
 
 | level | cores | seconds | iterations | dedup edges | edges/sec | load start→end |
 |---|---|---|---|---|---|---|

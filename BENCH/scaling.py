@@ -52,7 +52,18 @@ impl = sys.argv[3]
 spark = get_spark(app_name=f"scaling-{{cores}}", master=f"local[{{cores}}]",
                   shuffle_partitions=2 * cores)
 spark.sparkContext.setLogLevel("ERROR")
-if sf_dir.startswith("synth"):
+if sf_dir == "synth-wide":
+    # PAST-THE-CSR-CAP input: ~12M file vertices (> csr_max_vertices =
+    # 10M, so only the join kernel can run it) at web-link density
+    # E/V ~ 15 — direct sparse generation, no cross grid
+    from propagon_spark.sources.repo_table import synth_repo_table_sparse
+
+    repo = synth_repo_table_sparse(spark, n_repos=60_000,
+                                   n_files_per_repo=400,
+                                   n_commits_per_repo=23,
+                                   files_per_commit=12)
+    edges = derive_edges(repo, max_commit_files=100, symmetric=True)
+elif sf_dir.startswith("synth"):
     # deterministic seeded repo table large enough to be compute-bound;
     # synth = ~222M directed co-commit edges / 1M file vertices,
     # synth-small = ~22M / 100k
@@ -84,6 +95,7 @@ dedup = res.timings.get("edge_rows") or \
 print("RESULT " + json.dumps({{
     "cores": cores, "seconds": round(secs, 3), "iterations": res.iterations,
     "dedup_edges": dedup, "edges_per_sec": round(dedup * res.iterations / secs),
+    "vertices": g.num_vertices,
     "converged": res.converged, "impl": impl,
     "timings": {{k: (round(v, 3) if isinstance(v, float) else v)
                 for k, v in res.timings.items()}},
@@ -161,6 +173,10 @@ def main() -> None:
     # loadavg is recorded for every run for auditability.
     factor = n4 / n
     suffix = "" if impl == "csr" else f"_{impl}"
+    # non-default synth inputs get their own file so pairs on different
+    # inputs never overwrite each other (synth-wide → "-wide")
+    if sf_dir.startswith("synth-"):
+        suffix += f"-{sf_dir.split('-', 1)[1]}"
     out_path = os.path.join(REPO, "BENCH", f"scaling_{n}x{n4}{suffix}.json")
     pairs: list[dict] = []
     report: dict = {}
