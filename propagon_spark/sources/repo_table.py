@@ -96,6 +96,68 @@ def synth_repo_table(
     )
 
 
+def synth_repo_table_sparse(
+    spark: SparkSession,
+    n_repos: int,
+    n_files_per_repo: int,
+    n_commits_per_repo: int,
+    files_per_commit: int,
+    seed: int = 42,
+) -> DataFrame:
+    """Deterministic sparse synthetic repo table — direct generation.
+
+    :func:`synth_repo_table` scans an ``n_repos × n_files × n_commits``
+    cross grid and filters — fine at ~1e8 grid cells, prohibitive at the
+    >10M-vertex scale the ``synth-wide`` benchmark input needs (coverage
+    of most files forces a huge grid). This generator emits exactly
+    ``n_repos × n_commits × files_per_commit`` rows (one per
+    (commit, draw slot)) and maps each slot to a file with a hash — no
+    grid, so vertex count and edge density tune independently. Same
+    output contract and column recipes as :func:`synth_repo_table`;
+    duplicate draws within a commit collapse via ``distinct``, so a
+    commit touches ≤ ``files_per_commit`` distinct files (≈ all of them
+    while ``files_per_commit << n_files_per_repo``).
+    """
+    c, k = n_commits_per_repo, files_per_commit
+    touched = (
+        spark.range(n_repos * c * k)
+        .select(
+            (F.col("id") / (c * k)).cast("long").alias("_r"),
+            F.pmod((F.col("id") / k).cast("long"), F.lit(c)).alias("_cidx"),
+            F.pmod(F.col("id"), F.lit(k)).alias("_slot"),
+        )
+        .select(
+            F.concat(F.lit("repo"), F.col("_r")).alias("repo"),
+            F.col("_cidx"),
+            F.pmod(
+                F.hash(F.col("_r"), F.col("_cidx"), F.col("_slot"), F.lit(seed)),
+                F.lit(n_files_per_repo),
+            ).alias("_fidx"),
+        )
+        .distinct()
+    )
+    lang = F.element_at(
+        F.array(*[F.lit(x) for x in _LANGS]),
+        (F.col("_fidx") % len(_LANGS) + 1).cast("int"),
+    )
+    return touched.select(
+        "repo",
+        F.concat(F.lit("src/f"), F.col("_fidx"), F.lit("."), lang).alias("path"),
+        F.sha2(
+            F.concat_ws(
+                "|", F.col("repo"), F.col("_cidx").cast("string"), F.lit(str(seed))
+            ),
+            256,
+        ).substr(1, 12).alias("commit"),
+        lang.alias("lang"),
+        F.concat(
+            F.lit("// synthetic content "),
+            F.col("repo"), F.lit("/src/f"), F.col("_fidx").cast("string"),
+            F.lit(" @"), F.col("_cidx").cast("string"),
+        ).alias("content"),
+    )
+
+
 #: the production input contract (BASELINE.json input_hint)
 REPO_TABLE_COLUMNS = ("repo", "path", "commit", "lang", "content")
 

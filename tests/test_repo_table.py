@@ -114,3 +114,32 @@ def test_load_repo_table_paths_and_catalog(spark, repo_df, tmp_path):
     )
     with pytest.raises(InvalidParameterError, match="string"):
         load_repo_table(spark, str(tmp_path / "badtype.parquet"))
+
+
+def test_sparse_generator_contract(spark):
+    from propagon_spark.sources.repo_table import synth_repo_table_sparse
+
+    df = synth_repo_table_sparse(
+        spark, n_repos=5, n_files_per_repo=40,
+        n_commits_per_repo=6, files_per_commit=4,
+    )
+    assert set(df.columns) == {"repo", "path", "commit", "lang", "content"}
+    again = synth_repo_table_sparse(
+        spark, n_repos=5, n_files_per_repo=40,
+        n_commits_per_repo=6, files_per_commit=4,
+    )
+    assert df.exceptAll(again).count() + again.exceptAll(df).count() == 0
+    # a commit touches at most files_per_commit distinct files
+    per_commit = (
+        df.groupBy("repo", "commit").agg(F.count("*").alias("k")).collect()
+    )
+    assert per_commit and all(r["k"] <= 4 for r in per_commit)
+    # no duplicate (repo, commit, path) rows (distinct collapsed draws)
+    assert df.count() == df.select("repo", "commit", "path").distinct().count()
+    # feeds the standard derivation
+    e = derive_edges(df, max_commit_files=100, symmetric=True)
+    assert e.count() > 0
+    # symmetric: each (a,b) has its (b,a) twin
+    fwd = e.select("src", "dst")
+    rev = e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    assert fwd.exceptAll(rev).count() == 0
