@@ -42,6 +42,79 @@ def streaming_degree(
     )
 
 
+def streaming_tally(comparison_stream: DataFrame) -> DataFrame:
+    """Running per-entity win/loss tally over a comparison stream —
+    the reference's ``tally`` (``pairwise.rs:195-208``) maintained
+    incrementally with a custom stateful operator
+    (``applyInPandasWithState``: Arrow-batched per-key state, no
+    per-row Python).
+
+    Input: a streaming frame ``(winner, loser, weight)``. Each
+    micro-batch updates per-entity state ``(wins, losses, win_weight,
+    loss_weight)`` and emits the updated totals for the entities the
+    batch touched — use ``writeStream.outputMode("update")``. At any
+    trigger boundary, the latest row per entity equals the batch
+    :func:`propagon_spark.graph.tally.tally` over all rows seen so far
+    (parity-tested in tests/test_streaming_tally.py).
+
+    State is one small fixed-width row per entity, hash-partitioned by
+    name across executors — the same layout Spark's own streaming
+    aggregations use, so it scales with the state-store backend (RocksDB
+    at production state sizes)."""
+    import pandas as pd  # noqa: F811 — Arrow path only
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    contrib = comparison_stream.select(
+        F.col("winner").alias("name"),
+        F.lit(1).cast("long").alias("w"),
+        F.lit(0).cast("long").alias("l"),
+        F.col("weight").cast("double").alias("ww"),
+        F.lit(0.0).alias("lw"),
+    ).unionAll(
+        comparison_stream.select(
+            F.col("loser").alias("name"),
+            F.lit(0).cast("long").alias("w"),
+            F.lit(1).cast("long").alias("l"),
+            F.lit(0.0).alias("ww"),
+            F.col("weight").cast("double").alias("lw"),
+        )
+    )
+
+    out_schema = (
+        "name string, wins long, losses long, "
+        "win_weight double, loss_weight double"
+    )
+    state_schema = "wins long, losses long, win_weight double, loss_weight double"
+
+    def update(key, pdfs, state: GroupState):
+        wins, losses, ww, lw = (
+            state.get if state.exists else (0, 0, 0.0, 0.0)
+        )
+        for pdf in pdfs:
+            wins += int(pdf["w"].sum())
+            losses += int(pdf["l"].sum())
+            ww += float(pdf["ww"].sum())
+            lw += float(pdf["lw"].sum())
+        state.update((wins, losses, ww, lw))
+        yield pd.DataFrame(
+            {
+                "name": [key[0]],
+                "wins": [wins],
+                "losses": [losses],
+                "win_weight": [ww],
+                "loss_weight": [lw],
+            }
+        )
+
+    return contrib.groupBy("name").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def pagerank_warm(
     g: Graph, prev_ranks: DataFrame, normalize: bool = True, **kwargs
 ):
