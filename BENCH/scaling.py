@@ -194,7 +194,13 @@ def main() -> None:
         else:
             r_hi = run_level(n4, sf_dir, impl)
             r_lo = run_level(n, sf_dir, impl)
-        eff = (r_lo["seconds"] / r_hi["seconds"]) / factor
+        # efficiency from the THROUGHPUT ratio (edges/sec = dedup×iters/s),
+        # not raw seconds: convergence mode can stop at a slightly
+        # different iteration count per level (last-ulp L1 differences
+        # near the threshold, chained-step overshoot), and throughput is
+        # the quantity the north rule actually names. Identical to the
+        # seconds ratio whenever both levels run the same count.
+        eff = (r_hi["edges_per_sec"] / r_lo["edges_per_sec"]) / factor
         pairs.append({"low": r_lo, "high": r_hi,
                       "efficiency": round(eff, 3)})
         # write after EVERY repeat: a cut-off run still leaves the
