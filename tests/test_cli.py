@@ -1,0 +1,114 @@
+"""Reference-shaped CLI (``python -m propagon_spark graph <algo>``).
+
+Drives ``cli.run`` with the session fixture injected. The page-rank
+test replays the reference CLI's own golden e2e
+(``crates/propagon-cli/tests/golden.rs:169-173``): same command shape,
+same corpus, same 1e-5 tier-T tolerance — but through THIS engine's
+CLI surface (reader → canon → kernel → emit).
+"""
+
+from __future__ import annotations
+
+import io
+
+import pytest
+
+from propagon_spark.cli import run
+
+BASEBALL = "/root/reference/examples/tournament/baseball.2018.edges"
+GOLDEN = "/root/reference/crates/propagon-cli/tests/golden/page-rank.out"
+
+
+def _parse_scores(text: str) -> dict[str, float]:
+    out = {}
+    for line in text.splitlines():
+        if not line.strip():
+            continue
+        name, score = line.split(": ")
+        out[name] = float(score)
+    return out
+
+
+def test_cli_pagerank_matches_reference_golden(spark, capsys):
+    buf = io.StringIO()
+    rc = run(["graph", "page-rank", "--matches", BASEBALL], spark=spark, out=buf)
+    assert rc == 0
+    got = _parse_scores(buf.getvalue())
+    with open(GOLDEN) as f:
+        want = _parse_scores(f.read())
+    assert got.keys() == want.keys()
+    for k in want:
+        assert got[k] == pytest.approx(want[k], abs=1e-5), k
+    # stdout ordering: score desc, name asc (traits.rs:63-67)
+    lines = [ln for ln in buf.getvalue().splitlines() if ln.strip()]
+    scores = [float(ln.split(": ")[1]) for ln in lines]
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_cli_degree_and_formats(spark, tmp_path):
+    buf = io.StringIO()
+    rc = run(["graph", "degree", "--direction", "out", BASEBALL],
+             spark=spark, out=buf)
+    assert rc == 0
+    got = _parse_scores(buf.getvalue())
+    # rows are 'winner loser 1', so out-strength = wins: 2018 MLB
+    assert got["21"] == 108.0
+
+    # jsonl format: header line + one model line per entity
+    import json
+
+    buf = io.StringIO()
+    state = str(tmp_path / "deg.jsonl")
+    rc = run(["graph", "degree", "--direction", "out", BASEBALL,
+              "--format", "jsonl", "--save-state", state],
+             spark=spark, out=buf)
+    assert rc == 0
+    lines = buf.getvalue().splitlines()
+    head = json.loads(lines[0])
+    assert head["kind"] == "model" and head["entities"] == 30
+    assert len(lines) == 31
+    # saved state loads back through the library reader
+    from propagon_spark.state import load_model_jsonl
+
+    head2, loaded = load_model_jsonl(spark, state, algorithm="degree")
+    assert head2["algorithm"] == "degree" and loaded.count() == 30
+
+
+def test_cli_hits_two_section_and_components(spark, tmp_path):
+    buf = io.StringIO()
+    rc = run(["graph", "hits", "--iterations", "5", BASEBALL],
+             spark=spark, out=buf)
+    assert rc == 0
+    sections = buf.getvalue().split("\n\n")
+    assert len(sections) == 2  # authorities, then hubs (emit.rs:88-100)
+    assert len(_parse_scores(sections[0])) == 30
+
+    edges = tmp_path / "two_comp.edges"
+    edges.write_text("a b 1\nb c 1\nx y 2\n")
+    buf = io.StringIO()
+    rc = run(["graph", "components", str(edges)], spark=spark, out=buf)
+    assert rc == 0
+    memb = {}
+    for ln in buf.getvalue().splitlines():
+        name, comp = ln.split(": ")
+        memb.setdefault(comp, set()).add(name)
+    assert sorted(map(sorted, memb.values())) == [["a", "b", "c"], ["x", "y"]]
+
+    # --output PREFIX writes each component's edges, largest first
+    prefix = str(tmp_path / "comp")
+    rc = run(["graph", "components", str(edges), "--output", prefix],
+             spark=spark, out=io.StringIO())
+    assert rc == 0
+    c0 = (tmp_path / "comp.0").read_text().strip().splitlines()
+    c1 = (tmp_path / "comp.1").read_text().strip().splitlines()
+    assert len(c0) == 2 and len(c1) == 1  # a-b-c edges first, then x-y
+
+
+def test_cli_bootstrap_intervals(spark):
+    buf = io.StringIO()
+    rc = run(["graph", "degree", BASEBALL, "--bootstrap", "4"],
+             spark=spark, out=buf)
+    assert rc == 0
+    lines = [ln for ln in buf.getvalue().splitlines() if ln.strip()]
+    assert len(lines) == 30
+    assert "[" in lines[0] and "rank [" in lines[0]
