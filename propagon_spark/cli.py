@@ -257,9 +257,12 @@ def run(argv: list[str], spark=None, out=None) -> int:
             from propagon_spark.graph.harmonic import harmonic
 
             def fit(gg):
+                kw = {}
+                if args.num_sampled is not None:
+                    kw["seed"] = args.seed  # source-sampling seed
                 return harmonic(
                     gg, direction=args.direction, sample=args.num_sampled,
-                    cost="weight" if args.weighted else "unit",
+                    cost="weight" if args.weighted else "unit", **kw,
                 )
 
         elif algo == "degree":
