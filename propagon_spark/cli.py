@@ -68,6 +68,9 @@ def _build_parser() -> argparse.ArgumentParser:
                     help="seeds file: 'name [weight]' per line")
     pr.add_argument("--matches", action="store_true",
                     help="rows are 'winner loser': edge loser → winner")
+    pr.add_argument("--load-state", metavar="PATH", default=None,
+                    help="warm-start from saved JSONL model state "
+                         "(fit_warm, traits.rs:107-118 / PRD FR-5)")
     _common(pr)
 
     dg = sub.add_parser("degree")
@@ -231,12 +234,29 @@ def run(argv: list[str], spark=None, out=None) -> int:
             elif args.seeds_file:
                 seeds = read_seeds(args.seeds_file)
 
+            warm_prev = None
+            if args.load_state:
+                from propagon_spark.state import load_model_jsonl
+
+                _, prev = load_model_jsonl(spark, args.load_state)
+                warm_prev = prev  # (name, score)
+
             def fit(gg):
-                return pagerank(
-                    gg, damping=args.damping_factor,
+                kw = dict(
+                    damping=args.damping_factor,
                     iterations=args.iterations, tol=args.tolerance,
                     sink=args.sink_dispersion, seeds=seeds,
-                ).scores
+                )
+                if warm_prev is not None:
+                    from propagon_spark.streaming.incremental import (
+                        pagerank_warm,
+                    )
+
+                    ranks = gg.vocab.join(warm_prev, "name").select(
+                        "id", F.col("score").alias("rank")
+                    )
+                    return pagerank_warm(gg, ranks, **kw).scores
+                return pagerank(gg, **kw).scores
 
         elif algo in ("katz-centrality", "katz"):
             from propagon_spark.graph.katz import katz

@@ -104,6 +104,29 @@ def test_cli_hits_two_section_and_components(spark, tmp_path):
     assert len(c0) == 2 and len(c1) == 1  # a-b-c edges first, then x-y
 
 
+def test_cli_pagerank_save_then_warm_load(spark, tmp_path):
+    # two-period CLI flow: fit + --save-state, then --load-state warm
+    # refit (the reference's save/load two-period contract,
+    # golden.rs:214-252): the warm run converges to the same fixpoint
+    state = str(tmp_path / "pr.jsonl")
+    edges = tmp_path / "warm.edges"
+    edges.write_text("a b 1\nb c 1\nc a 1\na c 1\nb a 1\nd a 1\n")
+    cold = io.StringIO()
+    rc = run(["graph", "page-rank", "--sink-dispersion", "uniform",
+              "--tolerance", "1e-8", str(edges), "--save-state", state],
+             spark=spark, out=cold)
+    assert rc == 0
+    warm = io.StringIO()
+    rc = run(["graph", "page-rank", "--sink-dispersion", "uniform",
+              "--tolerance", "1e-8", str(edges), "--load-state", state],
+             spark=spark, out=warm)
+    assert rc == 0
+    c, w = _parse_scores(cold.getvalue()), _parse_scores(warm.getvalue())
+    assert c.keys() == w.keys()
+    for k in c:
+        assert w[k] == pytest.approx(c[k], abs=1e-6)
+
+
 def test_cli_bootstrap_intervals(spark):
     buf = io.StringIO()
     rc = run(["graph", "degree", BASEBALL, "--bootstrap", "4"],
