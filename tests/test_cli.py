@@ -127,6 +127,52 @@ def test_cli_pagerank_save_then_warm_load(spark, tmp_path):
         assert w[k] == pytest.approx(c[k], abs=1e-6)
 
 
+def _spearman(a: dict, b: dict) -> float:
+    """Spearman rho with tie-averaged ranks (golden.rs tier S)."""
+    import numpy as np
+
+    keys = sorted(a)
+    assert sorted(b) == keys
+
+    def ranks(vals):
+        v = np.asarray(vals, dtype=float)
+        order = np.argsort(-v, kind="stable")
+        r = np.empty(len(v))
+        r[order] = np.arange(1, len(v) + 1)
+        # average ranks over exact ties
+        for x in np.unique(v):
+            m = v == x
+            r[m] = r[m].mean()
+        return r
+
+    ra = ranks([a[k] for k in keys])
+    rb = ranks([b[k] for k in keys])
+    return float(np.corrcoef(ra, rb)[0, 1])
+
+
+def test_cli_birank_golden_spearman(spark):
+    # the reference's own tier-S golden for RNG-divergent algos
+    # (golden.rs:176-212): section-wise Spearman >= 0.95 vs birank.out
+    buf = io.StringIO()
+    rc = run(["graph", "birank", BASEBALL], spark=spark, out=buf)
+    assert rc == 0
+    got_lines = [ln for ln in buf.getvalue().splitlines() if ": " in ln]
+    with open(
+        "/root/reference/crates/propagon-cli/tests/golden/birank.out"
+    ) as f:
+        want_lines = [ln for ln in f.read().splitlines() if ": " in ln]
+    assert len(got_lines) == len(want_lines) == 60
+    mid_g, mid_w = len(got_lines) // 2, len(want_lines) // 2
+    got_u = _parse_scores("\n".join(got_lines[:mid_g]))
+    got_p = _parse_scores("\n".join(got_lines[mid_g:]))
+    want_u = _parse_scores("\n".join(want_lines[:mid_w]))
+    want_p = _parse_scores("\n".join(want_lines[mid_w:]))
+    rho_u = _spearman(got_u, want_u)
+    rho_p = _spearman(got_p, want_p)
+    assert rho_u >= 0.95, f"birank u-side spearman {rho_u}"
+    assert rho_p >= 0.95, f"birank p-side spearman {rho_p}"
+
+
 def test_cli_bootstrap_intervals(spark):
     buf = io.StringIO()
     rc = run(["graph", "degree", BASEBALL, "--bootstrap", "4"],
