@@ -194,8 +194,6 @@ def run(argv: list[str], spark=None, out=None) -> int:
             if args.output:
                 parts = extract_components(g, min_size=args.min_graph_size)
                 for i, (_names, comp_edges) in enumerate(parts):
-                    from propagon_spark.state import save_scores_tsv  # noqa: F401
-
                     rows = comp_edges.collect()
                     with open(f"{args.output}.{i}", "w") as f:
                         for r in rows:
