@@ -177,6 +177,12 @@ def run(argv: list[str], spark=None, out=None) -> int:
 
         algo = args.algo
         if algo == "birank":
+            if args.save_state:
+                raise SystemExit(
+                    "--save-state is single-vector model state; birank is "
+                    "a two-vector model — use the library API "
+                    "(propagon_spark.state.save_two_section_tsv)"
+                )
             from propagon_spark.graph.birank import birank
 
             res = birank(edges, iterations=args.iterations,
@@ -205,6 +211,12 @@ def run(argv: list[str], spark=None, out=None) -> int:
             return 0
 
         if algo == "hits":
+            if args.save_state:
+                raise SystemExit(
+                    "--save-state is single-vector model state; hits is a "
+                    "two-vector model — use the library API "
+                    "(propagon_spark.state.save_two_section_tsv)"
+                )
             from propagon_spark.graph.hits import hits
 
             res = hits(g, iterations=args.iterations,
@@ -219,6 +231,10 @@ def run(argv: list[str], spark=None, out=None) -> int:
                 "name", F.col("coreness").cast("double").alias("score")
             )
             _emit_scores(scores, args.format, "kcore", out)
+            if args.save_state:
+                from propagon_spark.state import save_model_jsonl
+
+                save_model_jsonl(scores, args.save_state, algorithm="kcore")
             return 0
 
         # (name, score)-shaped fits — bootstrap-wrappable like the
