@@ -179,8 +179,24 @@ def main() -> None:
         suffix += f"-{sf_dir.split('-', 1)[1]}"
     out_path = os.path.join(REPO, "BENCH", f"scaling_{n}x{n4}{suffix}.json")
     pairs: list[dict] = []
+    resumed = 0
+    # PROPAGON_SCALING_RESUME=1: seed completed repeats from the existing
+    # json (written incrementally after every repeat) so a suite killed
+    # mid-repeat continues instead of discarding finished pairs. `repeats`
+    # then means ADDITIONAL repeats to run. Provenance is recorded
+    # (`resumed_from_repeats`) so the audit trail shows which pairs came
+    # from the earlier suite invocation.
+    if os.environ.get("PROPAGON_SCALING_RESUME") == "1" and os.path.exists(out_path):
+        with open(out_path) as f:
+            prior = json.load(f)
+        if prior.get("input") == sf_dir and prior.get("impl") == impl:
+            for p in prior.get("all_runs", []):
+                pairs.append(p)
+            resumed = len(pairs)
+            print(f"[scaling] resume: seeded {resumed} completed repeat(s) "
+                  f"from {out_path}", flush=True)
     report: dict = {}
-    for i in range(repeats):
+    for i in range(resumed, resumed + repeats):
         # Alternate leg ORDER across repeats (low-first on even repeats,
         # high-first on odd): round-4c showed a monotone warm-up drift
         # over a suite (page cache + JIT state) that always favors
@@ -217,7 +233,8 @@ def main() -> None:
             "impl": impl,
             "nblocks": int(NBLOCKS),
             "repeats": len(pairs),
-            "repeats_requested": repeats,
+            "repeats_requested": resumed + repeats,
+            "resumed_from_repeats": resumed,
             "low": rep["low"],
             "high": rep["high"],
             "scaling_efficiency": round(median_eff, 3),
@@ -227,7 +244,7 @@ def main() -> None:
         }
         with open(out_path, "w") as f:
             json.dump(report, f, indent=1)
-        print(f"[scaling] repeat {len(pairs)}/{repeats} eff={eff:.3f} "
+        print(f"[scaling] repeat {len(pairs)}/{resumed + repeats} eff={eff:.3f} "
               f"median-so-far={median_eff:.3f}", flush=True)
     print(json.dumps(report))
 
