@@ -295,6 +295,34 @@ def pagerank(
     # reads it from timings instead of re-running the distinct)
     n_scatter = scatter.count()
 
+    # Gather plan selection. The per-iteration `groupBy(dst)` normally
+    # runs map-side partial aggregation before its exchange — a win only
+    # when dst actually repeats within a map partition. Expected
+    # duplicates per (partition, dst) ≈ edge_rows / (nparts · n): at
+    # ~14 (the 1M-vertex synth input) the partial agg cuts the shuffle
+    # 14×, but at ≲1 (sparse web-shaped graphs, E/V ~ 15) it reduces
+    # nothing while every one of the E rows probes a min(n, E/nparts)-
+    # entry hash table — hundreds of MB at n > a few million, every
+    # probe a DRAM miss, and W concurrent tasks contend for the memory
+    # controller, which is exactly what stopped the 12M-vertex
+    # synth-wide pair from scaling (BENCH/RUNS.md run #21: iterate
+    # phase efficiency 0.523 at 2→8 cores). In that regime route the
+    # join output through an explicit hash repartition on dst instead:
+    # the exchange input pipelines straight out of the scatter join (no
+    # map-side table at all) and the post-shuffle partial+final
+    # aggregates only ever see the partition's own ~n/nparts keys
+    # (cache-resident). Override with PROPAGON_JOIN_GATHER=agg|repart.
+    gather_mode = os.environ.get("PROPAGON_JOIN_GATHER", "auto")
+    if gather_mode not in ("auto", "agg", "repart"):
+        raise InvalidParameterError(
+            f"PROPAGON_JOIN_GATHER must be auto|agg|repart, got {gather_mode!r}"
+        )
+    if gather_mode == "auto":
+        dup_per_part = n_scatter / max(1, nparts * n)
+        gather_mode = "repart" if (n >= 2_000_000 and dup_per_part < 4.0) \
+            else "agg"
+    timings_gather_mode = gather_mode
+
     # ---- init / resume -------------------------------------------------
     ckpt: CheckpointManager | None = None
     if checkpoint_dir is not None:
@@ -334,9 +362,15 @@ def pagerank(
             contrib = scatter.join(r, ["src", "salt"])
         else:
             contrib = scatter.join(r, "src")
-        return contrib.groupBy(F.col("dst").alias("id")).agg(
-            F.sum(F.col("rank") * F.col("inv")).alias("m")
+        msgs = contrib.select(
+            F.col("dst").alias("id"),
+            (F.col("rank") * F.col("inv")).alias("_c"),
         )
+        if gather_mode == "repart":
+            # no map-side agg table: the exchange pipelines off the join,
+            # and the downstream aggregates are dst-partition-local
+            msgs = msgs.repartition(nparts, "id")
+        return msgs.groupBy("id").agg(F.sum("_c").alias("m"))
 
     def update_from(
         gathered: DataFrame,
@@ -457,6 +491,7 @@ def pagerank(
     # structure); a trivial-job sample estimates the per-job fixed cost.
     diag = os.environ.get("PROPAGON_JOIN_PHASES") == "1"
     timings = {"kernel": "join", "edge_rows": n_scatter,
+               "gather_mode": timings_gather_mode,
                "setup_s": time.monotonic() - t_setup, "iterate_s": 0.0,
                "iterate_gather_s": 0.0, "iterate_update_s": 0.0}
     # AQE off for the loop: every chained job re-plans each exchange as a

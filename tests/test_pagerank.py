@@ -156,6 +156,31 @@ def test_salting_equivalence(g4):
         assert abs(base[k] - salted[k]) < 1e-12, k
 
 
+def test_gather_repart_equivalence(g4, monkeypatch):
+    # the repart gather plan (explicit hash exchange before the dst
+    # aggregate — picked automatically for >=2M-vertex sparse graphs,
+    # where the map-side partial agg table thrashes DRAM) must produce
+    # identical ranks to the default map-side-agg plan
+    monkeypatch.setenv("PROPAGON_JOIN_GATHER", "agg")
+    base = scores_dict(
+        pagerank(g4, iterations=10, sink="uniform", impl="join").scores
+    )
+    monkeypatch.setenv("PROPAGON_JOIN_GATHER", "repart")
+    repart = scores_dict(
+        pagerank(g4, iterations=10, sink="uniform", impl="join").scores
+    )
+    for k in base:
+        assert abs(base[k] - repart[k]) < 1e-12, k
+    # and the mode is recorded in the timings audit trail
+    monkeypatch.setenv("PROPAGON_JOIN_GATHER", "auto")
+    res = pagerank(g4, iterations=2, sink="uniform", impl="join")
+    assert res.timings["gather_mode"] == "agg"  # 4 vertices < 2M
+
+    monkeypatch.setenv("PROPAGON_JOIN_GATHER", "bogus")
+    with pytest.raises(InvalidParameterError):
+        pagerank(g4, iterations=1, sink="uniform", impl="join")
+
+
 def test_portable_parquet_block_path(g4, monkeypatch):
     # the hdfs/s3 block-store branch (Parquet blocks, global-dst gather,
     # bucket == -1 rows) never triggers on a POSIX checkpoint dir — force
