@@ -20,6 +20,7 @@ sys.path.insert(0, REPO)
 cores = int(sys.argv[1])
 mode = sys.argv[2]
 n_repos = int(sys.argv[3]) if len(sys.argv) > 3 else 15_000
+iters = int(sys.argv[4]) if len(sys.argv) > 4 else 8
 
 os.environ["PROPAGON_JOIN_GATHER"] = mode
 
@@ -35,13 +36,24 @@ spark = get_spark(app_name=f"diag-wide-{cores}-{mode}",
                   master=f"local[{cores}]", shuffle_partitions=2 * cores)
 spark.sparkContext.setLogLevel("ERROR")
 
-repo = synth_repo_table_sparse(spark, n_repos=n_repos, n_files_per_repo=400,
-                               n_commits_per_repo=23, files_per_commit=12)
-edges = derive_edges(repo, max_commit_files=100, symmetric=True)
-g = Graph.from_edges(edges, weight="weight")
+_data = os.path.join(REPO, "BENCH", "data", "synth-wide")
+if n_repos == 60_000 and os.path.exists(_data + ".json"):
+    # materialized interned input (BENCH/scaling.py prepare_input)
+    with open(_data + ".json") as f:
+        meta = json.load(f)
+    g = Graph.from_dense_ids(spark.read.parquet(_data + ".parquet"),
+                             weight="weight",
+                             num_vertices=meta["num_vertices"])
+else:
+    repo = synth_repo_table_sparse(spark, n_repos=n_repos,
+                                   n_files_per_repo=400,
+                                   n_commits_per_repo=23,
+                                   files_per_commit=12)
+    edges = derive_edges(repo, max_commit_files=100, symmetric=True)
+    g = Graph.from_edges(edges, weight="weight")
 
 t0 = time.monotonic()
-res = pagerank(g, damping=0.85, sink="uniform", tol=None, iterations=8,
+res = pagerank(g, damping=0.85, sink="uniform", tol=None, iterations=iters,
                impl="join")
 res.ranks.count()
 secs = time.monotonic() - t0

@@ -52,7 +52,20 @@ impl = sys.argv[3]
 spark = get_spark(app_name=f"scaling-{{cores}}", master=f"local[{{cores}}]",
                   shuffle_partitions=2 * cores)
 spark.sparkContext.setLogLevel("ERROR")
-if sf_dir == "synth-wide":
+# Materialized interned input (see `prepare_input`): the synthetic
+# generation + vocab interning are identical constants at every level,
+# so they are done ONCE at full width and each leg just reads the
+# id-typed Parquet. The measured fit (canonicalize -> loop) is
+# unchanged; this only removes ~10-35 min of identical per-leg
+# preamble from the suite's wall-clock.
+_data = os.path.join({repo!r}, "BENCH", "data", sf_dir)
+if os.path.exists(_data + ".json"):
+    with open(_data + ".json") as f:
+        meta = json.load(f)
+    g = Graph.from_dense_ids(spark.read.parquet(_data + ".parquet"),
+                             weight="weight",
+                             num_vertices=meta["num_vertices"])
+elif sf_dir == "synth-wide":
     # PAST-THE-CSR-CAP input: ~12M file vertices (> csr_max_vertices =
     # 10M, so only the join kernel can run it) at web-link density
     # E/V ~ 15 — direct sparse generation, no cross grid
@@ -73,7 +86,8 @@ elif sf_dir.startswith("synth"):
     edges = derive_edges(repo, max_commit_files=100, symmetric=True)
 else:
     edges = cocommit_edges(spark, sf_dir, symmetric=True)
-g = Graph.from_edges(edges, weight="weight")
+if "g" not in globals():
+    g = Graph.from_edges(edges, weight="weight")
 # best of K fits in this JVM: one-time JIT/codegen makes the first fit
 # slow at narrow levels while cache/GC churn can make the SECOND fit slow
 # at wide levels — best-of-K is the standard steady-state protocol and
@@ -110,6 +124,63 @@ print("RESULT " + json.dumps({{
 }}))
 spark.stop()
 """
+
+
+_PREP = r"""
+import json, os, sys
+sys.path.insert(0, {repo!r})
+from propagon_spark.session import get_spark
+from propagon_spark.graph.core import Graph
+from propagon_spark.sources.repo_table import (
+    synth_repo_table, synth_repo_table_sparse, derive_edges,
+)
+
+sf_dir = sys.argv[1]
+out = sys.argv[2]
+spark = get_spark(app_name=f"scaling-prep-{{sf_dir}}", master="local[32]",
+                  shuffle_partitions=64)
+spark.sparkContext.setLogLevel("ERROR")
+if sf_dir == "synth-wide":
+    repo = synth_repo_table_sparse(spark, n_repos=60_000,
+                                   n_files_per_repo=400,
+                                   n_commits_per_repo=23,
+                                   files_per_commit=12)
+else:
+    n_repos = 100 if sf_dir == "synth-small" else 1000
+    repo = synth_repo_table(spark, n_repos=n_repos, n_files_per_repo=1000,
+                            n_commits_per_repo=150, touch_prob_mod=25)
+edges = derive_edges(repo, max_commit_files=100, symmetric=True)
+g = Graph.from_edges(edges, weight="weight")
+g.edges.write.mode("overwrite").parquet(out + ".parquet")
+with open(out + ".json", "w") as f:
+    json.dump({{"num_vertices": g.num_vertices,
+               "num_edge_rows": g.num_edge_rows}}, f)
+print(f"PREP {{sf_dir}}: {{g.num_vertices}} vertices, "
+      f"{{g.num_edge_rows}} edge rows -> {{out}}.parquet")
+spark.stop()
+"""
+
+
+def prepare_input(sf_dir: str) -> None:
+    """Materialize the interned id-typed edge frame for a synthetic input
+    once (full-width JVM), so each measured leg reads Parquet instead of
+    re-running generation + vocab interning (identical constants at
+    every level — pure wall-clock overhead for the suite)."""
+    if not sf_dir.startswith("synth"):
+        return
+    data_dir = os.path.join(REPO, "BENCH", "data")
+    out = os.path.join(data_dir, sf_dir)
+    if os.path.exists(out + ".json"):
+        return
+    os.makedirs(data_dir, exist_ok=True)
+    print(f"[scaling] materializing {sf_dir} input -> {out}.parquet",
+          flush=True)
+    r = subprocess.run(
+        [sys.executable, "-c", _PREP.format(repo=REPO), sf_dir, out],
+        timeout=7200,
+    )
+    if r.returncode != 0 or not os.path.exists(out + ".json"):
+        raise RuntimeError(f"input materialization failed for {sf_dir}")
 
 
 def _loadavg() -> float:
@@ -179,6 +250,7 @@ def main() -> None:
     # spread is fragile evidence — the median of >=3 paired runs is
     # robust to one contaminated window in either direction). Per-run
     # loadavg is recorded for every run for auditability.
+    prepare_input(sf_dir)
     factor = n4 / n
     suffix = "" if impl == "csr" else f"_{impl}"
     # non-default synth inputs get their own file so pairs on different

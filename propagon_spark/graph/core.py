@@ -118,6 +118,66 @@ class Graph:
         (name = string of id). Convenience for tests/benchmarks."""
         return cls.from_edges(edges, weight=weight)
 
+    @classmethod
+    def from_dense_ids(
+        cls,
+        edges: DataFrame,
+        weight: str | None = None,
+        num_vertices: int | None = None,
+        num_partitions: int | None = None,
+    ) -> "Graph":
+        """Build from an edge frame whose ``src``/``dst`` are ALREADY dense
+        long ids in ``0..n-1`` (e.g. a previously-interned frame
+        materialized to Parquet). Skips the two interning joins and the
+        name-distinct vocab build — the vocab is the identity mapping
+        ``id → CAST(id AS STRING)``, generated lazily from ``range(n)``
+        (zero scan cost; only kernels that emit names ever evaluate it).
+
+        ``num_vertices`` should be the original interned vocab size; when
+        omitted it is recovered as ``max(src, dst) + 1`` (correct for
+        dense id spaces, one extra scan of the cached frame).
+        """
+        spark = edges.sparkSession
+        w = (
+            F.col(weight).cast("double")
+            if weight is not None
+            else F.lit(1.0)
+        )
+        e = edges.select(
+            F.col("src").cast("long").alias("src"),
+            F.col("dst").cast("long").alias("dst"),
+            w.alias("weight"),
+        )
+        if num_partitions is None:
+            num_partitions = int(
+                spark.conf.get("spark.sql.shuffle.partitions")
+            )
+        # same stable src hash partitioning + deserialized cache as
+        # from_edges — kernels rely on both
+        e = e.repartition(num_partitions, "src")
+        e.persist(StorageLevel.MEMORY_AND_DISK_DESER)
+        m = e.count()
+        if m == 0:
+            raise EmptyDatasetError("empty edge dataset")
+        if num_vertices is None:
+            num_vertices = (
+                e.select(
+                    F.max(F.greatest(F.col("src"), F.col("dst"))).alias("mx")
+                ).first()["mx"]
+                + 1
+            )
+        vocab = spark.range(num_vertices).select(
+            F.col("id").cast("string").alias("name"), F.col("id")
+        )
+        g = cls(
+            vocab=vocab,
+            edges=e,
+            num_vertices=int(num_vertices),
+            num_edge_rows=m,
+        )
+        g._persisted = [e]
+        return g
+
     def with_names(self, df: DataFrame, id_col: str = "id") -> DataFrame:
         """Join names back onto an id-keyed result frame."""
         v = self.vocab.select(

@@ -170,6 +170,57 @@ def pagerank(
     # (out-degrees, block/scatter build, sink detection) would otherwise
     # each re-run the full-width distinct over the raw edge table
     use_csr = impl == "csr" or (impl == "auto" and n <= csr_max_vertices)
+
+    # Gather plan + loop partition LAYOUT, decided up front from graph
+    # shape. Past a few million vertices every per-task hash table in the
+    # loop (the shuffle-hash join's ranks build side, the gather
+    # aggregate's key map) holds ~n/nparts entries; with the session's
+    # width-derived nparts (2·cores) that is millions of entries per
+    # task — tens-to-hundreds of MB, so every probe is a DRAM miss and
+    # concurrent tasks contend for the memory controller (BENCH/RUNS.md
+    # runs #21-22: iterate-phase N→4N efficiency 0.52/0.66 at n = 12M
+    # while the cache-resident 1M-vertex input scores 0.899 on the same
+    # code). In that regime:
+    #   - gather_mode "repart": route the scatter-join output through an
+    #     explicit hash repartition on dst — the exchange pipelines off
+    #     the join (no map-side agg table) and ships exactly E rows at
+    #     every parallelism level (the groupBy partial-agg's output rows
+    #     grow with nparts on sparse graphs: distinct (partition, dst)
+    #     pairs, modeled 47M @ nparts=4 vs 115M @ 16 on synth-wide);
+    #   - loop_nparts pinned by SHAPE, not session width: enough
+    #     partitions that a task's table (~keys_per_task entries) stays
+    #     cache-resident at any core count, and no task exceeds
+    #     ~16M edge rows. More partitions never increase repart-mode
+    #     shuffle volume (always exactly E rows), so the max() with the
+    #     session width only ever shrinks tables. This is the join-kernel
+    #     analogue of the CSR kernel's pinned bucket layout: fix the
+    #     per-iteration work independent of cluster size, let the
+    #     cluster divide it. At 10^12-edge scale the same rule yields
+    #     data-proportional partition counts (the standard cluster
+    #     sizing), independent of executor count.
+    # Dense/small graphs (n < 2M) keep the map-side-combine groupBy and
+    # the session layout — the partial agg there cuts shuffle volume ~14×
+    # (synth: E/(P·n) ≈ 14) and its tables are cache-resident anyway.
+    # Override with PROPAGON_JOIN_GATHER=agg|repart;
+    # PROPAGON_JOIN_KEYS_PER_TASK tunes the table bound (default 100k
+    # entries ≈ 3-5 MB per task map).
+    gather_mode = os.environ.get("PROPAGON_JOIN_GATHER", "auto")
+    if gather_mode not in ("auto", "agg", "repart"):
+        raise InvalidParameterError(
+            f"PROPAGON_JOIN_GATHER must be auto|agg|repart, got {gather_mode!r}"
+        )
+    if gather_mode == "auto":
+        gather_mode = "repart" if (not use_csr and n >= 2_000_000) else "agg"
+    loop_nparts = nparts
+    if gather_mode == "repart":
+        keys_per_task = int(
+            os.environ.get("PROPAGON_JOIN_KEYS_PER_TASK", "100000")
+        )
+        loop_nparts = max(
+            nparts,
+            -(-n // max(1, keys_per_task)),            # ceil
+            -(-g.num_edge_rows // 16_000_000),
+        )
     # Join kernel (no reverse rewrite): fold the dedup INTO the scatter
     # partitioning — repartition by src FIRST, then distinct. A hash
     # partitioning on src satisfies the (src, dst) clustering the dedup
@@ -206,7 +257,8 @@ def pagerank(
             if pmax > 4 * pmean and pmax > 5_000_000:
                 pre_partitioned = False
     if pre_partitioned:
-        edges = g.edges.select("src", "dst").repartition(nparts, "src").distinct()
+        edges = g.edges.select("src", "dst") \
+            .repartition(loop_nparts, "src").distinct()
     else:
         edges = dedup_edges(g.edges)
         if sink == "reverse":
@@ -256,7 +308,7 @@ def pagerank(
                     is_hub, F.pmod(F.hash("dst"), F.lit(hub_salts))
                 ).otherwise(F.lit(0)),
             )
-            .repartition(nparts, "src", "salt")
+            .repartition(loop_nparts, "src", "salt")
             .persist(_STORAGE)
         )
         salt_df = spark.range(hub_salts).select(F.col("id").cast("int").alias("salt"))
@@ -264,7 +316,7 @@ def pagerank(
         # already hash-partitioned by src (dedup rode the same exchange)
         scatter = scatter_base.persist(_STORAGE)
     else:
-        scatter = scatter_base.repartition(nparts, "src").persist(_STORAGE)
+        scatter = scatter_base.repartition(loop_nparts, "src").persist(_STORAGE)
 
     # vertex frame: (id, v, is_sink) — static across iterations
     vstat = (
@@ -275,7 +327,7 @@ def pagerank(
             "left",
         )
         .select("id", "v", F.coalesce(F.col("ns"), F.lit(True)).alias("is_sink"))
-        .repartition(nparts, "id")
+        .repartition(loop_nparts, "id")
         .persist(_STORAGE)
     )
     vstat.count()
@@ -295,32 +347,6 @@ def pagerank(
     # reads it from timings instead of re-running the distinct)
     n_scatter = scatter.count()
 
-    # Gather plan selection. The per-iteration `groupBy(dst)` normally
-    # runs map-side partial aggregation before its exchange — a win only
-    # when dst actually repeats within a map partition. Expected
-    # duplicates per (partition, dst) ≈ edge_rows / (nparts · n): at
-    # ~14 (the 1M-vertex synth input) the partial agg cuts the shuffle
-    # 14×, but at ≲1 (sparse web-shaped graphs, E/V ~ 15) it reduces
-    # nothing while every one of the E rows probes a min(n, E/nparts)-
-    # entry hash table — hundreds of MB at n > a few million, every
-    # probe a DRAM miss, and W concurrent tasks contend for the memory
-    # controller, which is exactly what stopped the 12M-vertex
-    # synth-wide pair from scaling (BENCH/RUNS.md run #21: iterate
-    # phase efficiency 0.523 at 2→8 cores). In that regime route the
-    # join output through an explicit hash repartition on dst instead:
-    # the exchange input pipelines straight out of the scatter join (no
-    # map-side table at all) and the post-shuffle partial+final
-    # aggregates only ever see the partition's own ~n/nparts keys
-    # (cache-resident). Override with PROPAGON_JOIN_GATHER=agg|repart.
-    gather_mode = os.environ.get("PROPAGON_JOIN_GATHER", "auto")
-    if gather_mode not in ("auto", "agg", "repart"):
-        raise InvalidParameterError(
-            f"PROPAGON_JOIN_GATHER must be auto|agg|repart, got {gather_mode!r}"
-        )
-    if gather_mode == "auto":
-        dup_per_part = n_scatter / max(1, nparts * n)
-        gather_mode = "repart" if (n >= 2_000_000 and dup_per_part < 4.0) \
-            else "agg"
     timings_gather_mode = gather_mode
 
     # ---- init / resume -------------------------------------------------
@@ -336,7 +362,7 @@ def pagerank(
         if latest is not None:
             start_iter, state, metrics = latest
             ranks = truncate_lineage(
-                state.select("id", "rank").repartition(nparts, "id")
+                state.select("id", "rank").repartition(loop_nparts, "id")
             )
     if ranks is None:
         # init = teleport vector (pagerank.rs:170-173)
@@ -369,7 +395,7 @@ def pagerank(
         if gather_mode == "repart":
             # no map-side agg table: the exchange pipelines off the join,
             # and the downstream aggregates are dst-partition-local
-            msgs = msgs.repartition(nparts, "id")
+            msgs = msgs.repartition(loop_nparts, "id")
         return msgs.groupBy("id").agg(F.sum("_c").alias("m"))
 
     def update_from(
@@ -492,6 +518,7 @@ def pagerank(
     diag = os.environ.get("PROPAGON_JOIN_PHASES") == "1"
     timings = {"kernel": "join", "edge_rows": n_scatter,
                "gather_mode": timings_gather_mode,
+               "loop_nparts": loop_nparts,
                "setup_s": time.monotonic() - t_setup, "iterate_s": 0.0,
                "iterate_gather_s": 0.0, "iterate_update_s": 0.0}
     # AQE off for the loop: every chained job re-plans each exchange as a
@@ -504,7 +531,7 @@ def pagerank(
     spark.conf.set(aqe_key, "false")
     if diag:
         t_f = time.monotonic()
-        spark.range(nparts * 1000).repartition(nparts, "id").count()
+        spark.range(loop_nparts * 1000).repartition(loop_nparts, "id").count()
         timings["fixed_job_s"] = time.monotonic() - t_f
 
     try:
