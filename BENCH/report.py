@@ -3,12 +3,14 @@
 Each JSON is one N→4N pair produced by BENCH/scaling.py, tagged with the
 kernel it measured (csr = the <=10M-vertex fast path, join = the
 pure-dataflow path that runs beyond that cap, i.e. at the 100-TB
-target). The headline pair (north rule) is the lowest-core csr pair —
-on a single shared-memory host, wide levels saturate the memory bus
-that a real cluster would not share, so the low pair is the faithful
-proxy for adding nodes; the wide pair is reported alongside with its
-per-phase breakdown as the saturation evidence, and the join-kernel
-pairs evidence the >10M-vertex scale path.
+target). The headline pair (north rule) is the lowest-core JOIN-kernel
+pair on the full synth input — the join kernel is the only kernel that
+runs past csr_max_vertices, i.e. the one the 10^12-file rule actually
+exercises (BENCH/SCALE_PATH.md) — and on a single shared-memory host
+the low pair is the faithful proxy for adding nodes (wide levels
+saturate the memory bus a real cluster would not share). The csr pairs
+and the wide-input join pairs are reported alongside with per-phase
+breakdowns.
 
 Usage: python3 BENCH/report.py
 """
