@@ -103,12 +103,16 @@ The headline is the JOIN kernel deliberately: it is the only kernel
 that runs past `csr_max_vertices` = 10M, i.e. the kernel the
 10^12-file north rule actually exercises (BENCH/SCALE_PATH.md holds
 the full argument). On the wide (>csr-cap, 12M-vertex) input itself
-the same kernel and layout pass at the bus-contention floor pair,
-1 → 4 cores = 1.074 (RUNS.md #25), while the 2 → 8 pair on the same
-input reads 0.723 with the deficit isolated to the iterate phase's
-per-core memory-bandwidth share (RUNS.md #24) — the bracketing that
-justifies reading the floor pair as the cluster proxy. The csr fast
-path is reported below with its
+the same kernel and layout are measured at the bus-contention floor
+pair (1 → 4 cores): the one calm-window repeat reads 1.074, the
+per-repeat spread under a measured monotone host-interference drift
+(the identical 1-core leg slowed 1527 → 1950 s across the morning's
+repeats) brackets 0.588–1.074, and the reported median is below in
+its own section (RUNS.md #25–#28 hold the leg-by-leg audit). The
+2 → 8 pair on the same input reads 0.723 with the deficit isolated to
+the iterate phase's per-core memory-bandwidth share (RUNS.md #24) —
+together the bracketing that justifies reading the floor pair as the
+cluster proxy. The csr fast path is reported below with its
 complete 3-repeat confirmation history; on one shared memory bus its
 end-to-end 2→8 ratio is dominated by the dedup exchange and the tmpfs
 shard write and sits near 0.6 at steady-state cache (RUNS.md #15-17
