@@ -104,11 +104,12 @@ that runs past `csr_max_vertices` = 10M, i.e. the kernel the
 10^12-file north rule actually exercises (BENCH/SCALE_PATH.md holds
 the full argument). On the wide (>csr-cap, 12M-vertex) input itself
 the same kernel and layout are measured at the bus-contention floor
-pair (1 → 4 cores): the one calm-window repeat reads 1.074, the
-per-repeat spread under a measured monotone host-interference drift
-(the identical 1-core leg slowed 1527 → 1950 s across the morning's
-repeats) brackets 0.588–1.074, and the reported median is below in
-its own section (RUNS.md #25–#28 hold the leg-by-leg audit). The
+pair (1 → 4 cores): **median 0.845 over 4 order-alternating repeats
+(1.074 / 0.588 / 0.76 / 0.93) — a pass on the >csr-cap input**. The
+per-repeat spread reflects a measured monotone host-interference
+drift (the identical 1-core leg slowed 1527 → 1950 s across the
+morning's repeats, then recovered to 1743 s); the leg-by-leg audit is
+in RUNS.md #25–#28 and the full pair table below. The
 2 → 8 pair on the same input reads 0.723 with the deficit isolated to
 the iterate phase's per-core memory-bandwidth share (RUNS.md #24) —
 together the bracketing that justifies reading the floor pair as the
