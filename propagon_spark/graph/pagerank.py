@@ -63,6 +63,14 @@ _SINKS = ("none", "uniform", "all", "reverse")
 # iterative kernels re-read their persisted frames every pass
 _STORAGE = StorageLevel.MEMORY_AND_DISK_DESER
 
+# Skew guard for the folded dedup (repartition-by-src-then-distinct):
+# probe partition sizes only when a partition above the row floor is even
+# possible, and fall back to dedup-then-repartition when one partition
+# holds > _SKEW_MAX_RATIO x the mean AND exceeds the floor. Module-level
+# so tests can exercise the fallback on small graphs.
+_SKEW_PROBE_MIN_ROWS = 5_000_000
+_SKEW_MAX_RATIO = 4
+
 
 @dataclass
 class PageRankResult:
@@ -243,9 +251,9 @@ def pagerank(
         # with map-side combine, one extra exchange of DEDUP'D rows) when
         # one partition dominates — the power-law-hub regression risk on
         # the common PageRank input.
-        # probe only when a >5M-row partition is even possible — the
-        # count(*) scan over the cached frame is wasted work below that
-        if g.num_edge_rows > 5_000_000:
+        # probe only when a partition above the floor is even possible —
+        # the count(*) scan over the cached frame is wasted work below it
+        if g.num_edge_rows > _SKEW_PROBE_MIN_ROWS:
             psizes = [
                 r["cnt"]
                 for r in g.edges.groupBy(F.spark_partition_id().alias("_p"))
@@ -254,7 +262,7 @@ def pagerank(
             ]
             pmax = max(psizes, default=0)
             pmean = (sum(psizes) / len(psizes)) if psizes else 0.0
-            if pmax > 4 * pmean and pmax > 5_000_000:
+            if pmax > _SKEW_MAX_RATIO * pmean and pmax > _SKEW_PROBE_MIN_ROWS:
                 pre_partitioned = False
     if pre_partitioned:
         edges = g.edges.select("src", "dst") \
@@ -518,6 +526,7 @@ def pagerank(
     diag = os.environ.get("PROPAGON_JOIN_PHASES") == "1"
     timings = {"kernel": "join", "edge_rows": n_scatter,
                "gather_mode": timings_gather_mode,
+               "dedup_plan": "folded" if pre_partitioned else "separate",
                "loop_nparts": loop_nparts,
                "setup_s": time.monotonic() - t_setup, "iterate_s": 0.0,
                "iterate_gather_s": 0.0, "iterate_update_s": 0.0}
