@@ -11,10 +11,12 @@ oracled by UNROLLING the power steps into chained DuckDB CTEs —
 multiply-referenced step CTEs are ``MATERIALIZED`` or DuckDB inlines
 them 2^k-fold. MinHash/SimHash near-dup and the cluster operator are
 oracled by replaying their deterministic signature arithmetic in
-HUGEINT (see _minhash_pair_ctes). Only genuinely RNG- or fixpoint-bound
-operators (converged PageRank, random-init BiRank, bootstrap
-resampling, sampled harmonic, embedding near-dup's float hyperplanes)
-are registered without an oracle (rows-only check).
+HUGEINT (see _minhash_pair_ctes). Converged (tol-based) PageRank is
+oracled by unrolling to the measured sf0.01 stopping iteration with a
+sentinel that fires loudly if that calibration drifts. Only genuinely
+RNG-bound operators (random-init BiRank, bootstrap resampling, sampled
+harmonic, embedding near-dup's float hyperplanes) are registered
+without an oracle (rows-only check).
 
 Float-valued results are rounded to 9 decimals on BOTH sides: the math
 is arranged so both engines fold doubles in the same order, and the
@@ -59,6 +61,14 @@ HARMONIC_DEPTH = 4
 #: rows-only)
 HARMONIC_SRC_K = 64
 PR_CONV_STEPS = 60
+#: iteration at which the tol=1e-6 convergence loop stops on the sf0.01
+#: symmetric co-commit graph (measured: L1 deltas 2.78e-6 @6 -> 4.31e-7
+#: @7, both >2x clear of the threshold, so float fold-order noise cannot
+#: flip the stop). Calibrated to sf0.01 exactly like _FMC_ROUNDS; the
+#: oracle carries a sentinel that fires LOUDLY (marker row => row-count
+#: mismatch) if this stops being the kernel's true stopping iteration.
+PR_CONV_TOL = 1e-6
+PR_CONV_ITERS_SF001 = 7
 
 
 def _doc(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -382,16 +392,23 @@ def q_harmonic_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("name", F.round("score", 9).alias("score"))
 
 
-# ----- rows-only entries (no practical SQL twin; driver records a weaker
-# ----- check and the judge sees which)
-
-
 def q_pagerank_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the TRUE variable-iteration convergence stop (L1 delta < tol), not a
+    # fixed step count: the oracle unrolls PR_CONV_ITERS_SF001 power steps
+    # (the measured sf0.01 stopping iteration) and sentinel-checks that
+    # delta_k < tol <= delta_{k-1}, so a drifted stopping rule reports as
+    # a loud marker-row mismatch, never as a plausible result
     from propagon_spark.graph.pagerank import pagerank
 
     g = _graph(spark, sf_dir, symmetric=True)
-    res = pagerank(g, damping=DAMPING, sink="uniform", tol=1e-6, max_iterations=100)
-    return res.scores
+    res = pagerank(
+        g, damping=DAMPING, sink="uniform", tol=PR_CONV_TOL, max_iterations=100
+    )
+    return res.scores.select("name", F.round("score", 9).alias("score"))
+
+
+# ----- rows-only entries (no practical SQL twin; driver records a weaker
+# ----- check and the judge sees which)
 
 
 def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -586,9 +603,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # ---------------------------------------------------------- oracle SQL
 
 
-def _pr_unrolled(damping: float, iters: int, seeded: bool) -> str:
+def _pr_unrolled(
+    damping: float, iters: int, seeded: bool, sentinel_tol: float | None = None
+) -> str:
     """Generate DuckDB SQL unrolling `iters` PageRank power steps over the
-    deduplicated symmetric co-occurrence graph (no sinks by symmetry)."""
+    deduplicated symmetric co-occurrence graph (no sinks by symmetry).
+
+    ``sentinel_tol`` set => twin for the CONVERGED kernel (tol-based
+    variable-iteration stop): ``iters`` must be the kernel's measured
+    stopping iteration at the compared scale factor, and the emitted SQL
+    appends a sentinel marker row whenever the unrolled deltas contradict
+    that calibration (L1(r_k - r_{k-1}) >= tol, or
+    L1(r_{k-1} - r_{k-2}) < tol, i.e. the kernel would have stopped at a
+    different step) — the oracle then fails LOUD as a row-count mismatch
+    naming the fix, never silently plausible (same device as the
+    _FMC_ROUNDS saturation guard)."""
     v = (
         "CASE WHEN v.id = (SELECT min(id) FROM v) THEN 1.0 ELSE 0.0 END"
         if seeded
@@ -618,6 +647,17 @@ def _pr_unrolled(damping: float, iters: int, seeded: bool) -> str:
         )
     sql[-1] = sql[-1].rstrip(",")
     sql.append(f"SELECT id AS name, ROUND(rank, 9) AS score FROM r{iters}")
+    if sentinel_tol is not None:
+        if iters < 2:
+            raise ValueError("sentinel twin needs iters >= 2")
+        sql.append(f"""UNION ALL
+SELECT 'PR_CONV_ORACLE_STALE' AS name, -1.0 AS score
+WHERE NOT (
+  (SELECT sum(abs(a.rank - b.rank)) FROM r{iters} a
+   JOIN r{iters - 1} b ON a.id = b.id) < {sentinel_tol}
+  AND (SELECT sum(abs(a.rank - b.rank)) FROM r{iters - 1} a
+   JOIN r{iters - 2} b ON a.id = b.id) >= {sentinel_tol}
+)""")
     return "\n".join(sql)
 
 
@@ -1247,6 +1287,10 @@ def oracle_sql() -> dict[str, str]:
         "pagerank_k3": _pr_unrolled(DAMPING, PR_ITERS, seeded=False),
         "ppr_seeded_k3": _pr_unrolled(PPR_DAMPING, PR_ITERS, seeded=True),
         "pagerank_conv60": _pr_unrolled(DAMPING, PR_CONV_STEPS, seeded=False),
+        "pagerank_converged": _pr_unrolled(
+            DAMPING, PR_CONV_ITERS_SF001, seeded=False,
+            sentinel_tol=PR_CONV_TOL,
+        ),
         "hits_k2": _hits_unrolled(HITS_ITERS),
         "katz_k3": _katz_unrolled(KATZ_ALPHA, KATZ_ITERS),
         "leader_rank_k3": _leader_rank_unrolled(LR_ITERS),
