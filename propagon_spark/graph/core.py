@@ -75,33 +75,49 @@ class Graph:
             F.col(dst).cast("string").alias("dst_name"),
             w.alias("weight"),
         )
+        # The input plan executes TWICE below — once under the vocab's
+        # name-distinct scan, once under the interning join. For a plain
+        # table scan that's neutral, but callers routinely pass expensive
+        # derivations (the co-commit SELF-JOIN: measured 2x ~17s at sf0.1,
+        # i.e. half of graph build), so materialize the normalized frame
+        # once and release it as soon as the interned edges are counted.
+        raw.persist(StorageLevel.MEMORY_AND_DISK_DESER)
 
         names = raw.select(F.col("src_name").alias("name")).unionAll(
             raw.select(F.col("dst_name").alias("name"))
         )
-        vocab = build_vocab(names)  # materialized flat leaf (see ids.py)
-        n = vocab.count()
-        if n == 0:
-            raise EmptyDatasetError("empty edge dataset")
+        try:
+            vocab = build_vocab(names)  # materialized flat leaf (see ids.py)
+            n = vocab.count()
+            if n == 0:
+                raise EmptyDatasetError("empty edge dataset")
 
-        sv = vocab.select(F.col("name").alias("src_name"), F.col("id").alias("src"))
-        dv = vocab.select(F.col("name").alias("dst_name"), F.col("id").alias("dst"))
-        e = (
-            raw.join(sv, "src_name")
-            .join(dv, "dst_name")
-            .select("src", "dst", "weight")
-        )
-        if num_partitions is None:
-            num_partitions = int(
-                edges.sparkSession.conf.get("spark.sql.shuffle.partitions")
+            sv = vocab.select(
+                F.col("name").alias("src_name"), F.col("id").alias("src")
             )
-        # One stable hash partitioning by src, reused by every scatter join
-        # in the iterative kernels (kills one Exchange per iteration).
-        e = e.repartition(num_partitions, "src")
-        # deserialized columnar cache — every kernel re-reads this frame;
-        # the serialized level costs ~3.5x per scan at 2e8 rows (measured)
-        e.persist(StorageLevel.MEMORY_AND_DISK_DESER)
-        m = e.count()
+            dv = vocab.select(
+                F.col("name").alias("dst_name"), F.col("id").alias("dst")
+            )
+            e = (
+                raw.join(sv, "src_name")
+                .join(dv, "dst_name")
+                .select("src", "dst", "weight")
+            )
+            if num_partitions is None:
+                num_partitions = int(
+                    edges.sparkSession.conf.get("spark.sql.shuffle.partitions")
+                )
+            # One stable hash partitioning by src, reused by every scatter
+            # join in the iterative kernels (kills one Exchange per
+            # iteration).
+            e = e.repartition(num_partitions, "src")
+            # deserialized columnar cache — every kernel re-reads this
+            # frame; the serialized level costs ~3.5x per scan at 2e8 rows
+            # (measured)
+            e.persist(StorageLevel.MEMORY_AND_DISK_DESER)
+            m = e.count()
+        finally:
+            raw.unpersist(blocking=False)
 
         g = cls(
             vocab=vocab,
