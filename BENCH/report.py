@@ -110,10 +110,11 @@ per-repeat spread reflects a measured monotone host-interference
 drift (the identical 1-core leg slowed 1527 → 1950 s across the
 morning's repeats, then recovered to 1743 s); the leg-by-leg audit is
 in RUNS.md #25–#28 and the full pair table below. The
-2 → 8 pair on the same input reads 0.723 with the deficit isolated to
-the iterate phase's per-core memory-bandwidth share (RUNS.md #24) —
-together the bracketing that justifies reading the floor pair as the
-cluster proxy. The csr fast path is reported below with its
+2 → 8 pair on the same input reads a 3-repeat median of 0.723 with
+the deficit isolated to the per-iteration update phase's per-core
+memory-bandwidth share (RUNS.md #24, #30 — the gather phase scales at
+~0.93 on the same runs) — together the bracketing that justifies
+reading the floor pair as the cluster proxy. The csr fast path is reported below with its
 complete 3-repeat confirmation history; on one shared memory bus its
 end-to-end 2→8 ratio is dominated by the dedup exchange and the tmpfs
 shard write and sits near 0.6 at steady-state cache (RUNS.md #15-17
