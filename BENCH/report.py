@@ -42,7 +42,7 @@ _CSR_ONLY_AGG = "setup_s"
 def load_pairs() -> list[dict]:
     pairs = []
     for path in sorted(glob.glob(os.path.join(BENCH, "scaling_*x*.json"))):
-        m = re.search(r"scaling_(\d+)x(\d+)(?:_([a-z-]+))?\.json$", path)
+        m = re.search(r"scaling_(\d+)x(\d+)(?:_([a-z0-9-]+))?\.json$", path)
         if not m:
             continue
         with open(path) as f:
@@ -143,8 +143,9 @@ that cap (the actual 10^12-file-scale path).
                       f"median repeat's own pair of runs).")
         nv = lo.get("vertices")
         vtag = f", {nv:,} vertices" if nv else ""
+        ptag = f", {r['tag']}" if r.get("tag") else ""
         md.append(f"""## {r['impl']} kernel, {r['n']} → {r['n4']} cores — \
-efficiency {r['scaling_efficiency']} ({r['input']}{vtag}, repeats {r['repeats']}){spread}
+efficiency {r['scaling_efficiency']} ({r['input']}{vtag}, repeats {r['repeats']}{ptag}){spread}
 
 | level | cores | seconds | iterations | dedup edges | edges/sec | load start→end |
 |---|---|---|---|---|---|---|

@@ -257,6 +257,13 @@ def main() -> None:
     # inputs never overwrite each other (synth-wide → "-wide")
     if sf_dir.startswith("synth-"):
         suffix += f"-{sf_dir.split('-', 1)[1]}"
+    # PROPAGON_SCALING_TAG: protocol-variant tag (e.g. "it10" for a
+    # 10-iteration budget) — its pairs land in their OWN file so a
+    # different-protocol run never overwrites or resumes an existing
+    # record, and the report labels the section with the tag
+    tag = os.environ.get("PROPAGON_SCALING_TAG", "")
+    if tag:
+        suffix += f"-{tag}"
     out_path = os.path.join(REPO, "BENCH", f"scaling_{n}x{n4}{suffix}.json")
     pairs: list[dict] = []
     resumed = 0
@@ -311,6 +318,7 @@ def main() -> None:
         report = {
             "input": sf_dir,
             "impl": impl,
+            **({"tag": tag} if tag else {}),
             "nblocks": int(NBLOCKS),
             "repeats": len(pairs),
             "repeats_requested": resumed + repeats,
