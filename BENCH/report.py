@@ -119,11 +119,13 @@ job shape's per-core memory-bandwidth share (the chain shape scales
 at 0.86–0.99 on the same runs). So the >csr-cap input passes the
 criterion on BOTH measured pairs once the job mix matches production:
 0.845 at the bus-contention floor (1→4) and 0.913 at 2→8/it10. The
-csr fast path is reported below with its
-complete 3-repeat confirmation history; on one shared memory bus its
-end-to-end 2→8 ratio is dominated by the dedup exchange and the tmpfs
-shard write and sits near 0.6 at steady-state cache (RUNS.md #15-17
-has the per-phase decomposition).
+csr fast path passes the same bus-contention floor pair:
+**1→4 median 0.886 over 3 repeats (0.886 / 0.878 / 0.906, RUNS.md
+#32)** — every kernel now has a ≥0.8 floor-pair number. Its wider
+2→8 ratio sits near 0.6 at steady-state cache, dominated by the
+dedup exchange and the tmpfs shard write — the same code that scales
+at 0.90/1.03 at the floor pair, isolating the shortfall to the shared
+memory bus (per-phase decompositions in RUNS.md #15-17 and #32).
 
 No real multi-executor cluster exists in this sandbox, so N→4N is
 evidenced with local[N] vs local[4N] on one machine. The pairs below
