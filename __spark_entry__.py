@@ -13,10 +13,14 @@ them 2^k-fold. MinHash/SimHash near-dup and the cluster operator are
 oracled by replaying their deterministic signature arithmetic in
 HUGEINT (see _minhash_pair_ctes). Converged (tol-based) PageRank is
 oracled by unrolling to the measured sf0.01 stopping iteration with a
-sentinel that fires loudly if that calibration drifts. Only genuinely
-RNG-bound operators (random-init BiRank, bootstrap resampling, sampled
-harmonic, embedding near-dup's float hyperplanes) are registered
-without an oracle (rows-only check).
+sentinel that fires loudly if that calibration drifts. Sampled harmonic
+is oracled by replaying Spark's xxhash64 order-statistics source draw
+bit-exactly in DuckDB HUGEINT/UBIGINT arithmetic (_xxhash64_pair_ctes).
+The exact-mode bootstrap gets the same treatment (per-replicate draws
+are xxhash64(i, seed+rep) mod n). Only genuinely RNG-bound operators
+(random-init BiRank, the Poisson-bootstrap scale default — rand()
+substreams are partition-assigned — and embedding near-dup's float
+hyperplanes) are registered without an oracle (rows-only check).
 
 Float-valued results are rounded to 9 decimals on BOTH sides: the math
 is arranged so both engines fold doubles in the same order, and the
@@ -56,10 +60,19 @@ RW_BIAS = 0.75
 HARMONIC_DEPTH = 4
 #: fixed-source harmonic parity mode: the K lexicographically smallest
 #: vertex names — an SQL-expressible deterministic source set, so the
-#: scaled-estimator math gets an exact oracle (the xxhash64 order-
-#: statistics draw used by ``sample=`` has no DuckDB twin and stays
-#: rows-only)
+#: scaled-estimator math gets an exact oracle independent of the hash
+#: draw below
 HARMONIC_SRC_K = 64
+#: sampled-source harmonic: the xxhash64(id, seed) order-statistics
+#: draw is ALSO SQL-expressible — dense ids are name ranks
+#: (ids.py: order-preserving vocab), and Spark's two-column xxhash64
+#: chain hashInt(seed, hashLong(id, 42)) is replayed bit-exactly in
+#: DuckDB HUGEINT/UBIGINT arithmetic (_xxhash64_pair_ctes; model
+#: verified against live Spark in scripts/dev_xxhash_model.py). Depth-
+#: bounded so the BFS closure CTE stays ~V*K*depth rows.
+HARMONIC_SAMPLE_K = 64
+HARMONIC_SAMPLED_DEPTH = 6
+HARMONIC_SAMPLED_SEED = 2014
 PR_CONV_STEPS = 60
 #: iteration at which the tol=1e-6 convergence loop stops on the sf0.01
 #: symmetric co-commit graph (measured: L1 deltas 2.78e-6 @6 -> 4.31e-7
@@ -498,7 +511,8 @@ def q_birank_uniform(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_bootstrap_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
     # bootstrap CIs over in-degree on the co-occurrence graph (Poisson
-    # resampling; seeded but RNG-dependent ⇒ rows-only)
+    # resampling — the distributed scale default; rand() substreams are
+    # partition-assigned ⇒ rows-only)
     from propagon_spark.graph.bootstrap import bootstrap
     from propagon_spark.graph.degree import degree
 
@@ -507,13 +521,52 @@ def q_bootstrap_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.intervals
 
 
+BOOT_EXACT_REPS = 8
+BOOT_EXACT_SEED = 42
+
+
+def q_bootstrap_degree_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the reference's exact n-draw resample (resample.rs:87-95) is fully
+    # deterministic — global name-ordered row numbering + xxhash64(i,
+    # seed+rep) mod n draws — so the whole bootstrap pipeline (resample →
+    # per-replicate degree fit → rank → exact percentile CIs) gets an
+    # exact DuckDB twin via the same xxhash64 replay as harmonic_sampled
+    from propagon_spark.graph.bootstrap import bootstrap
+    from propagon_spark.graph.degree import degree
+
+    g = _graph(spark, sf_dir, symmetric=False, min_weight=2)
+    res = bootstrap(
+        g,
+        lambda rg: degree(rg, "in"),
+        replicates=BOOT_EXACT_REPS,
+        seed=BOOT_EXACT_SEED,
+        method="exact",
+    )
+    return res.intervals.select(
+        "name",
+        F.round("score_mean", 9).alias("score_mean"),
+        F.round("score_lo", 9).alias("score_lo"),
+        F.round("score_hi", 9).alias("score_hi"),
+        F.round("rank_lo", 9).alias("rank_lo"),
+        F.round("rank_hi", 9).alias("rank_hi"),
+    )
+
+
 def q_harmonic_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # sampled-source harmonic estimator on the sparse subgraph (iterative
-    # BFS fixpoint ⇒ rows-only)
+    # sampled-source harmonic estimator on the sparse subgraph; depth-
+    # bounded so the oracle's BFS closure CTE stays linear, and oracled
+    # exactly: the xxhash64 source draw is replayed in DuckDB
     from propagon_spark.graph.harmonic import harmonic
 
     g = _graph(spark, sf_dir, symmetric=False, min_weight=2)
-    return harmonic(g, "total", sample=64, seed=2014)
+    out = harmonic(
+        g,
+        "total",
+        sample=HARMONIC_SAMPLE_K,
+        seed=HARMONIC_SAMPLED_SEED,
+        max_depth=HARMONIC_SAMPLED_DEPTH,
+    )
+    return out.select("name", F.round("score", 9).alias("score"))
 
 
 def q_harmonic_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -595,6 +648,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "birank_supplier_part": q_birank,
         "birank_uniform_k2": q_birank_uniform,
         "bootstrap_degree_ci": q_bootstrap_degree,
+        "bootstrap_degree_ci_exact": q_bootstrap_degree_exact,
         "harmonic_sampled": q_harmonic_sampled,
         "harmonic_src64": q_harmonic_sources,
     }
@@ -963,6 +1017,183 @@ SELECT v.id AS name,
 FROM v LEFT JOIN sc USING (id)"""
 
 
+# Spark xxhash64 replay: F.xxhash64(long_col, F.lit(int32)) folds its
+# children left-to-right from seed 42 — hashInt(lit, hashLong(col, 42))
+# (Spark sql/catalyst XXH64.hashLong/hashInt). The DuckDB twin chains
+# one CTE per hash stage (NOT lateral aliases: DuckDB's binder inlines
+# alias references textually, and the chain's repeated operands would
+# blow the expression tree up exponentially); 64x64-bit multiplies are
+# split into 32-bit halves so no intermediate overflows INT128. The
+# Python model behind this encoding is verified against live Spark in
+# scripts/dev_xxhash_model.py; the SQL is verified against the model
+# over 200k ids in scripts/dev_xxhash_sql.py.
+_XXH_M = 1 << 64
+_XXH_MH = f"{_XXH_M}::HUGEINT"
+_XXH_B32 = 1 << 32
+_XXH_P1 = 0x9E3779B185EBCA87
+_XXH_P2 = 0xC2B2AE3D27D4EB4F
+_XXH_P3 = 0x165667B19E3779F9
+_XXH_P4 = 0x85EBCA77C2B2AE63
+_XXH_P5 = 0x27D4EB2F165667C5
+
+
+def _xxh_mul(x: str, c: int) -> str:
+    """(x*c) mod 2^64 in HUGEINT without INT128 overflow."""
+    return (
+        f"(({x} % {_XXH_B32}::HUGEINT) * {c}::HUGEINT"
+        f" + ((({x} // {_XXH_B32}::HUGEINT) * {c}::HUGEINT)"
+        f" % {_XXH_B32}::HUGEINT) * {_XXH_B32}::HUGEINT) % {_XXH_MH}"
+    )
+
+
+def _xxh_rotl(x: str, r: int) -> str:
+    return (
+        f"(({x} * {1 << r}::HUGEINT) % {_XXH_MH}"
+        f" + {x} // {1 << (64 - r)}::HUGEINT)"
+    )
+
+
+def _xxh_xorshr(x: str, r: int) -> str:
+    """fmix xor-shift step x ^ (x >> r); xor runs in UBIGINT."""
+    return (
+        f"CAST(xor(CAST({x} AS UBIGINT), "
+        f"CAST({x} // {1 << r}::HUGEINT AS UBIGINT)) AS HUGEINT)"
+    )
+
+
+def _xxhash64_pair_ctes(
+    src_cte: str,
+    id_col: str,
+    seed: int | None = None,
+    seed_col: str | None = None,
+) -> str:
+    """CTE chain ``x0..x11,xh`` where ``xh`` carries every column of
+    ``src_cte`` plus ``hx`` = Spark's signed-long
+    ``F.xxhash64(F.col(id_col), F.lit(seed))``. Pass ``seed`` for a
+    constant literal, or ``seed_col`` (a non-negative int32-ranged
+    column of ``src_cte``) for per-row seeds (e.g. per-replicate
+    ``base_seed + rep``)."""
+    c1 = (42 + _XXH_P5 + 8) % _XXH_M  # hashLong initial acc
+    c2 = (_XXH_P5 + 4) % _XXH_M  # hashInt length term
+    if seed_col is not None:
+        # seed_col < 2^31, so seed*P1 fits INT128 without the split
+        ks = (
+            f"(CAST({seed_col} AS HUGEINT) * {_XXH_P1}::HUGEINT)"
+            f" % {_XXH_MH}"
+        )
+    else:
+        ks = f"{(seed * _XXH_P1) % _XXH_M}::HUGEINT"  # constant-folded
+    steps = [
+        f"SELECT *, {ks} AS ks FROM {src_cte}",
+        f"SELECT *, {_xxh_mul(f'CAST({id_col} AS HUGEINT)', _XXH_P2)} AS t"
+        " FROM x0",
+        f"SELECT *, {_xxh_mul(_xxh_rotl('t', 31), _XXH_P1)} AS k1 FROM x1",
+        f"SELECT *, CAST(xor(CAST(k1 AS UBIGINT), {c1}::UBIGINT)"
+        " AS HUGEINT) AS u1 FROM x2",
+        f"SELECT *, ({_xxh_mul(_xxh_rotl('u1', 27), _XXH_P1)}"
+        f" + {_XXH_P4}::HUGEINT) % {_XXH_MH} AS u2 FROM x3",
+        f"SELECT *, {_xxh_mul(_xxh_xorshr('u2', 33), _XXH_P2)} AS u3 FROM x4",
+        f"SELECT *, {_xxh_mul(_xxh_xorshr('u3', 29), _XXH_P3)} AS u4 FROM x5",
+        f"SELECT *, ({_xxh_xorshr('u4', 32)} + {c2}::HUGEINT) % {_XXH_MH}"
+        " AS g0 FROM x6",
+        "SELECT *, CAST(xor(CAST(g0 AS UBIGINT), CAST(ks AS UBIGINT))"
+        " AS HUGEINT) AS g1 FROM x7",
+        f"SELECT *, ({_xxh_mul(_xxh_rotl('g1', 23), _XXH_P2)}"
+        f" + {_XXH_P3}::HUGEINT) % {_XXH_MH} AS g2 FROM x8",
+        f"SELECT *, {_xxh_mul(_xxh_xorshr('g2', 33), _XXH_P2)} AS g3 FROM x9",
+        f"SELECT *, {_xxh_mul(_xxh_xorshr('g3', 29), _XXH_P3)} AS g4 FROM x10",
+    ]
+    ctes = ",\n".join(f"x{i} AS ({s})" for i, s in enumerate(steps))
+    fin = _xxh_xorshr("g4", 32)
+    return (
+        f"{ctes},\n"
+        f"xh AS (SELECT *, CAST({fin} - CASE WHEN {fin} >="
+        f" {1 << 63}::HUGEINT THEN {_XXH_MH} ELSE 0::HUGEINT END"
+        " AS BIGINT) AS hx FROM x11)"
+    )
+
+
+def _harmonic_sampled_sql(depth: int, k: int, seed: int) -> str:
+    """SQL twin of the SAMPLED-source harmonic estimator: replays the
+    library's deterministic draw exactly — dense ids are name ranks
+    (ids.py), sources are the ``k`` smallest ``xxhash64(id, seed)``
+    (harmonic.py order-statistics sampling) — then the same scaled BFS
+    estimator as ``_harmonic_sources_sql``. When the subgraph has
+    ``n <= k`` vertices the LIMIT returns all of them and the scale
+    collapses to 1.0, matching the library's exact-mode fallthrough."""
+    return f"""WITH RECURSIVE {ORACLE_EDGES_CTE},
+ce AS (SELECT src, dst FROM pairs WHERE weight >= 2),
+se AS (SELECT src, dst FROM ce UNION SELECT dst, src FROM ce),
+v AS (SELECT DISTINCT src AS id FROM se),
+vv AS (SELECT id, CAST(row_number() OVER (ORDER BY id) - 1 AS BIGINT)
+       AS vid FROM v),
+{_xxhash64_pair_ctes('vv', 'vid', seed)},
+srcs AS (SELECT id FROM xh ORDER BY hx, vid LIMIT {k}),
+kk AS (SELECT CAST(count(*) AS DOUBLE) AS c FROM srcs),
+walk(s, nd, d) AS (
+    SELECT id, id, 0 FROM srcs
+    UNION
+    SELECT w.s, se.dst, w.d + 1 FROM walk w JOIN se ON se.src = w.nd
+    WHERE w.d < {depth}
+),
+mind AS (SELECT s, nd, min(d) AS d FROM walk GROUP BY 1, 2),
+perd AS (SELECT nd AS id, d, CAST(count(*) AS DOUBLE) / d AS hh
+         FROM mind WHERE d > 0 GROUP BY 1, 2),
+sc AS (SELECT id, sum(hh ORDER BY d) AS h FROM perd GROUP BY 1),
+scale AS (SELECT (SELECT CAST(count(*) AS DOUBLE) FROM v)
+                 / (SELECT c FROM kk) AS f)
+SELECT v.id AS name,
+       ROUND(coalesce(sc.h, 0.0) * (SELECT f FROM scale), 9) AS score
+FROM v LEFT JOIN sc USING (id)"""
+
+
+def _bootstrap_degree_exact_sql(reps: int, seed: int) -> str:
+    """SQL twin of the exact-resample bootstrap over in-degree: replays
+    resample_edges_exact (bootstrap.py) — id-typed edges numbered by a
+    global (src, dst, weight) sort, draw i of replicate r picks row
+    ``pmod(xxhash64(i, seed+r), n)`` — then the per-replicate degree fit
+    over the FULL vocab (zeros for unsampled vertices, degree.py), the
+    (desc score, asc name) rank, and exact type-7 percentile CIs
+    (Spark F.percentile == DuckDB quantile_cont)."""
+    return f"""WITH {ORACLE_EDGES_CTE},
+ce AS (SELECT src, dst, weight FROM pairs WHERE weight >= 2),
+v AS (SELECT DISTINCT nm AS name FROM
+      (SELECT src AS nm FROM ce UNION ALL SELECT dst FROM ce) u),
+vv AS (SELECT name, CAST(row_number() OVER (ORDER BY name) - 1 AS BIGINT)
+       AS vid FROM v),
+e AS (SELECT a.vid AS src, b.vid AS dst, ce.weight AS weight
+      FROM ce JOIN vv a ON ce.src = a.name JOIN vv b ON ce.dst = b.name),
+num AS MATERIALIZED (SELECT src, dst, weight,
+       CAST(row_number() OVER (ORDER BY src, dst, weight) - 1 AS BIGINT)
+       AS rn FROM e),
+nn AS (SELECT count(*) AS c FROM num),
+di AS (SELECT r.range AS rep, d.rn AS i,
+       CAST({seed} + r.range AS BIGINT) AS s
+       FROM range(0, {reps}) r CROSS JOIN (SELECT rn FROM num) d),
+{_xxhash64_pair_ctes('di', 'i', seed_col='s')},
+dr AS (SELECT rep, ((hx % (SELECT c FROM nn)) + (SELECT c FROM nn))
+       % (SELECT c FROM nn) AS rn FROM xh),
+mult AS (SELECT rep, rn, CAST(count(*) AS DOUBLE) AS m
+         FROM dr GROUP BY 1, 2),
+indeg AS (SELECT mult.rep, num.dst AS vid,
+          sum(num.weight * mult.m) AS score
+          FROM mult JOIN num USING (rn) GROUP BY 1, 2),
+rr AS (SELECT range AS rep FROM range(0, {reps})),
+fullsc AS (SELECT rr.rep, vv.name, coalesce(i.score, 0.0) AS score
+           FROM rr CROSS JOIN vv
+           LEFT JOIN indeg i ON i.rep = rr.rep AND i.vid = vv.vid),
+rk AS (SELECT rep, name, score, CAST(row_number() OVER
+       (PARTITION BY rep ORDER BY score DESC, name ASC) AS DOUBLE) AS rnk
+       FROM fullsc)
+SELECT name,
+       ROUND(avg(score), 9) AS score_mean,
+       ROUND(quantile_cont(score, 0.025), 9) AS score_lo,
+       ROUND(quantile_cont(score, 0.975), 9) AS score_hi,
+       ROUND(quantile_cont(rnk, 0.025), 9) AS rank_lo,
+       ROUND(quantile_cont(rnk, 0.975), 9) AS rank_hi
+FROM rk GROUP BY name"""
+
+
 _DEGREE_ORACLE = {
     "in": "SELECT dst AS name, sum(weight) AS score FROM pairs GROUP BY 1",
     "out": "SELECT src AS name, sum(weight) AS score FROM pairs GROUP BY 1",
@@ -1296,6 +1527,12 @@ def oracle_sql() -> dict[str, str]:
         "leader_rank_k3": _leader_rank_unrolled(LR_ITERS),
         "harmonic_bfs_d4": _harmonic_bfs_sql(HARMONIC_DEPTH),
         "harmonic_src64": _harmonic_sources_sql(HARMONIC_DEPTH, HARMONIC_SRC_K),
+        "bootstrap_degree_ci_exact": _bootstrap_degree_exact_sql(
+            BOOT_EXACT_REPS, BOOT_EXACT_SEED
+        ),
+        "harmonic_sampled": _harmonic_sampled_sql(
+            HARMONIC_SAMPLED_DEPTH, HARMONIC_SAMPLE_K, HARMONIC_SAMPLED_SEED
+        ),
         "rank_centrality": _rank_centrality_unrolled(RC_ITERS),
         "random_walker": _random_walker_unrolled(RW_BIAS, RW_ITERS),
         "components_minw2": f"""WITH RECURSIVE {ORACLE_EDGES_CTE},

@@ -128,14 +128,20 @@ def bootstrap(
         )
         all_scores = s if all_scores is None else all_scores.unionAll(s)
 
+    # EXACT percentiles (type-7 interpolation), not percentile_approx:
+    # per-name state is O(replicates) — a user-chosen small constant, so
+    # exactness is scale-safe (the sketch only wins on unbounded groups)
+    # — and the reference indexes sorted replicate scores directly
+    # (bootstrap.rs percentile over the replicate vector), which the
+    # interpolating exact percentile matches and a sketch does not.
     out = (
         all_scores.groupBy("name")
         .agg(
             F.avg("score").alias("score_mean"),
-            F.percentile_approx("score", lo).alias("score_lo"),
-            F.percentile_approx("score", hi).alias("score_hi"),
-            F.percentile_approx("_rank", lo).alias("rank_lo"),
-            F.percentile_approx("_rank", hi).alias("rank_hi"),
+            F.percentile("score", F.lit(lo)).alias("score_lo"),
+            F.percentile("score", F.lit(hi)).alias("score_hi"),
+            F.percentile("_rank", F.lit(lo)).alias("rank_lo"),
+            F.percentile("_rank", F.lit(hi)).alias("rank_hi"),
         )
         .orderBy(F.desc("score_mean"), F.asc("name"))
     )

@@ -213,10 +213,14 @@ def test_bootstrap_exact_ci_matches_hand_computation(spark):
             by_entity[n].append(s)
     for n, scores in by_entity.items():
         assert abs(got[n]["score_mean"] - float(np.mean(scores))) < 1e-9
-        assert got[n]["score_lo"] <= min(scores) + 1e-9
-        assert got[n]["score_hi"] >= max(scores) - 1e-9
-        assert min(scores) - 1e-9 <= got[n]["score_lo"]
-        assert got[n]["score_hi"] <= max(scores) + 1e-9
+        # bootstrap CIs are EXACT type-7 percentiles (F.percentile; the
+        # same interpolation as np.percentile 'linear'), not a sketch
+        assert abs(
+            got[n]["score_lo"] - float(np.percentile(scores, 2.5))
+        ) < 1e-9
+        assert abs(
+            got[n]["score_hi"] - float(np.percentile(scores, 97.5))
+        ) < 1e-9
     g.unpersist()
 
 
