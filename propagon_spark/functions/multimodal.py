@@ -501,6 +501,313 @@ def _jpeg_scan(
     return np.clip(np.round(out), 0, 255).astype(np.uint8)
 
 
+def _mp4_boxes(data: bytes, start: int, end: int):
+    """Yield (type, payload_start, payload_end) for ISO-BMFF boxes in
+    ``data[start:end]`` (32/64-bit sizes, size==0 → to end)."""
+    pos = start
+    while pos + 8 <= end:
+        size = int.from_bytes(data[pos : pos + 4], "big")
+        typ = data[pos + 4 : pos + 8]
+        body = pos + 8
+        if size == 1:  # 64-bit largesize
+            size = int.from_bytes(data[pos + 8 : pos + 16], "big")
+            body = pos + 16
+        elif size == 0:
+            size = end - pos
+        if size < 8 or pos + size > end:
+            return  # malformed/truncated: stop walking, keep what we have
+        yield typ, body, pos + size
+        pos += size
+
+
+def _mp4_find(data: bytes, start: int, end: int, *path: bytes):
+    """Descend a box path (e.g. b"moov", b"trak" yields every trak)."""
+    if not path:
+        yield start, end
+        return
+    for typ, b, e in _mp4_boxes(data, start, end):
+        if typ == path[0]:
+            yield from _mp4_find(data, b, e, *path[1:])
+
+
+def _u32s(data: bytes, off: int, n: int) -> np.ndarray:
+    return np.frombuffer(data, dtype=">u4", count=n, offset=off).astype(
+        np.int64
+    )
+
+
+def parse_mp4_meta(payload: bytes) -> dict:
+    """ISO-BMFF (MP4/M4A/MOV) container metadata — pure stdlib+numpy box
+    walk, NO codec decode: movie duration from ``mvhd``, per-track
+    handler/codec/dimensions/sample-count from ``trak`` subboxes.
+
+    This is the honest scale path for video at ingest: a 100-TB corpus
+    pass that filters/partitions on duration, codec and resolution reads
+    a few hundred header bytes per asset and never touches a codec.
+    """
+    meta: dict = {"container": None, "duration_ms": None, "tracks": []}
+    for b, e in _mp4_find(payload, 0, len(payload), b"ftyp"):
+        meta["container"] = payload[b : b + 4].decode("ascii", "replace")
+        break
+    if meta["container"] is None:
+        raise NotImplementedError("not an ISO-BMFF payload (no ftyp box)")
+    for b, e in _mp4_find(payload, 0, len(payload), b"moov", b"mvhd"):
+        ver = payload[b]
+        if ver == 1:
+            ts = int.from_bytes(payload[b + 20 : b + 24], "big")
+            dur = int.from_bytes(payload[b + 24 : b + 32], "big")
+        else:
+            ts = int.from_bytes(payload[b + 12 : b + 16], "big")
+            dur = int.from_bytes(payload[b + 16 : b + 20], "big")
+        if ts:
+            meta["duration_ms"] = int(dur * 1000 // ts)
+    for tb, te in _mp4_find(payload, 0, len(payload), b"moov", b"trak"):
+        trk: dict = {
+            "handler": None,
+            "codec": None,
+            "width": None,
+            "height": None,
+            "n_samples": None,
+        }
+        for b, e in _mp4_find(payload, tb, te, b"mdia", b"hdlr"):
+            trk["handler"] = payload[b + 8 : b + 12].decode("ascii", "replace")
+        for b, e in _mp4_find(
+            payload, tb, te, b"mdia", b"minf", b"stbl", b"stsd"
+        ):
+            if int.from_bytes(payload[b + 4 : b + 8], "big") >= 1:
+                fmt = payload[b + 12 : b + 16]
+                trk["codec"] = fmt.decode("ascii", "replace")
+                if trk["handler"] == "vide":
+                    # VisualSampleEntry: 8 hdr + 6 reserved + 2 dref +
+                    # 16 predefined -> width/height u16 at +32/+34
+                    se = b + 8
+                    trk["width"] = int.from_bytes(
+                        payload[se + 32 : se + 34], "big"
+                    )
+                    trk["height"] = int.from_bytes(
+                        payload[se + 34 : se + 36], "big"
+                    )
+        for b, e in _mp4_find(
+            payload, tb, te, b"mdia", b"minf", b"stbl", b"stsz"
+        ):
+            trk["n_samples"] = int.from_bytes(payload[b + 8 : b + 12], "big")
+        meta["tracks"].append(trk)
+    return meta
+
+
+def extract_mp4_samples(
+    payload: bytes, handler: str = "vide"
+) -> list[tuple[int, bytes]]:
+    """Per-sample (time_ms, encoded bytes) for the first ``handler``
+    track, from the stts/stsc/stsz/stco(co64) sample tables — the
+    codec-ENCODED access units (no decode; a real decoder slots in
+    downstream). Standard ISO-BMFF chunk-walk: stsc maps chunks →
+    samples-per-chunk, offsets accumulate stsz sizes within each chunk."""
+    for tb, te in _mp4_find(payload, 0, len(payload), b"moov", b"trak"):
+        hd = None
+        for b, e in _mp4_find(payload, tb, te, b"mdia", b"hdlr"):
+            hd = payload[b + 8 : b + 12].decode("ascii", "replace")
+        if hd != handler:
+            continue
+        stbl = next(
+            iter(_mp4_find(payload, tb, te, b"mdia", b"minf", b"stbl")), None
+        )
+        if stbl is None:
+            break
+        sb, se = stbl
+        tables: dict[bytes, tuple[int, int]] = {}
+        for typ, b, e in _mp4_boxes(payload, sb, se):
+            tables[typ] = (b, e)
+        if b"stsz" not in tables or (
+            b"stco" not in tables and b"co64" not in tables
+        ):
+            break
+        b, _ = tables[b"stsz"]
+        fixed = int.from_bytes(payload[b + 4 : b + 8], "big")
+        n = int.from_bytes(payload[b + 8 : b + 12], "big")
+        sizes = (
+            np.full(n, fixed, dtype=np.int64)
+            if fixed
+            else _u32s(payload, b + 12, n)
+        )
+        if b"co64" in tables:
+            b, _ = tables[b"co64"]
+            nch = int.from_bytes(payload[b + 4 : b + 8], "big")
+            offs = np.frombuffer(
+                payload, dtype=">u8", count=nch, offset=b + 8
+            ).astype(np.int64)
+        else:
+            b, _ = tables[b"stco"]
+            nch = int.from_bytes(payload[b + 4 : b + 8], "big")
+            offs = _u32s(payload, b + 8, nch)
+        # stsc: (first_chunk, samples_per_chunk, _) runs
+        spc = np.ones(nch, dtype=np.int64)
+        if b"stsc" in tables:
+            b, _ = tables[b"stsc"]
+            ne = int.from_bytes(payload[b + 4 : b + 8], "big")
+            ent = _u32s(payload, b + 8, 3 * ne).reshape(ne, 3)
+            for i in range(ne):
+                first = ent[i, 0] - 1
+                last = ent[i + 1, 0] - 1 if i + 1 < ne else nch
+                spc[first:last] = ent[i, 1]
+        # per-sample timestamps from stts deltas (track timescale units)
+        times = np.zeros(n, dtype=np.int64)
+        scale = 1
+        for mb, me in _mp4_find(payload, tb, te, b"mdia", b"mdhd"):
+            ver = payload[mb]
+            scale = int.from_bytes(
+                payload[mb + 20 : mb + 24]
+                if ver == 1
+                else payload[mb + 12 : mb + 16],
+                "big",
+            ) or 1
+        if b"stts" in tables:
+            b, _ = tables[b"stts"]
+            ne = int.from_bytes(payload[b + 4 : b + 8], "big")
+            ent = _u32s(payload, b + 8, 2 * ne).reshape(ne, 2)
+            deltas = np.repeat(ent[:, 1], ent[:, 0])[:n]
+            times[1 : len(deltas)] = np.cumsum(deltas[:-1])[: n - 1]
+        out: list[tuple[int, bytes]] = []
+        si = 0
+        for ci in range(nch):
+            pos = int(offs[ci])
+            for _ in range(int(spc[ci])):
+                if si >= n:
+                    break
+                sz = int(sizes[si])
+                out.append(
+                    (int(times[si] * 1000 // scale), payload[pos : pos + sz])
+                )
+                pos += sz
+                si += 1
+        return out
+    raise NotImplementedError(
+        f"no {handler!r} track with sample tables in ISO-BMFF payload"
+    )
+
+
+_PROBE_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType()),
+        StructField("media_type", StringType()),
+        StructField("container", StringType()),
+        StructField("codec", StringType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("duration_ms", LongType()),
+        StructField("n_samples", LongType()),
+        StructField("probe_error", StringType()),
+    ]
+)
+
+
+def _probe_one(payload: bytes) -> dict:
+    """Header-only sniff of one payload → container/codec/dims/duration."""
+    out = {
+        "container": None,
+        "codec": None,
+        "width": None,
+        "height": None,
+        "duration_ms": None,
+        "n_samples": None,
+        "probe_error": None,
+    }
+    if payload[4:8] == b"ftyp":
+        meta = parse_mp4_meta(payload)
+        out["container"] = "mp4/" + meta["container"]
+        out["duration_ms"] = meta["duration_ms"]
+        vid = next(
+            (t for t in meta["tracks"] if t["handler"] == "vide"), None
+        )
+        trk = vid or (meta["tracks"][0] if meta["tracks"] else None)
+        if trk:
+            out["codec"] = trk["codec"]
+            out["width"], out["height"] = trk["width"], trk["height"]
+            out["n_samples"] = trk["n_samples"]
+    elif payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        out["container"] = "wav"
+        out["codec"] = "pcm"
+        with wave.open(io.BytesIO(payload)) as wv:
+            nch, _, rate, nframes = wv.getparams()[:4]
+        out["n_samples"] = nframes
+        out["duration_ms"] = int(nframes * 1000 // rate) if rate else None
+    elif payload[:8] == _PNG_MAGIC:
+        out["container"] = "png"
+        out["codec"] = "deflate"
+        out["width"] = int.from_bytes(payload[16:20], "big")
+        out["height"] = int.from_bytes(payload[20:24], "big")
+    elif payload[:2] == b"BM":
+        out["container"] = "bmp"
+        out["codec"] = "raw"
+        out["width"] = int.from_bytes(payload[18:22], "little", signed=True)
+        out["height"] = abs(
+            int.from_bytes(payload[22:26], "little", signed=True)
+        )
+    elif payload[:2] in (b"P5", b"P6"):
+        m = _PNM_HEADER.match(payload)
+        out["container"] = "pnm"
+        out["codec"] = "raw"
+        if m:
+            out["width"], out["height"] = int(m.group(2)), int(m.group(3))
+    elif payload[:2] == _JPEG_MAGIC:
+        out["container"] = "jpeg"
+        out["codec"] = "jpeg"
+        i = 2
+        while i + 4 <= len(payload):  # find SOFn for dimensions
+            if payload[i] != 0xFF:
+                i += 1
+                continue
+            marker = payload[i + 1]
+            if marker in (0xC0, 0xC1, 0xC2):
+                out["height"] = int.from_bytes(payload[i + 5 : i + 7], "big")
+                out["width"] = int.from_bytes(payload[i + 7 : i + 9], "big")
+                break
+            if marker in (0x01, 0xD8) or 0xD0 <= marker <= 0xD7:
+                i += 2
+                continue
+            i += 2 + int.from_bytes(payload[i + 2 : i + 4], "big")
+    else:
+        raise NotImplementedError(
+            f"unrecognized container (magic {payload[:8]!r})"
+        )
+    return out
+
+
+def probe_media(assets: DataFrame) -> DataFrame:
+    """Header-only metadata probe over a multimodal asset table —
+    (container, codec, width, height, duration_ms, n_samples) per asset,
+    with per-row error capture (``probe_error``) so one corrupt payload
+    never kills a 100-TB scan. This is the first pass of every
+    large-scale media pipeline: filter/partition on cheap header fields
+    before any decode work is scheduled."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for aid, mt, payload in zip(
+                pdf["asset_id"], pdf["media_type"], pdf["payload"]
+            ):
+                row = {"asset_id": aid, "media_type": mt}
+                try:
+                    row.update(_probe_one(bytes(payload or b"")))
+                except Exception as exc:  # noqa: BLE001 — per-row capture
+                    row.update(
+                        {
+                            "container": None,
+                            "codec": None,
+                            "width": None,
+                            "height": None,
+                            "duration_ms": None,
+                            "n_samples": None,
+                            "probe_error": f"{type(exc).__name__}: {exc}",
+                        }
+                    )
+                rows.append(row)
+            yield pd.DataFrame(rows, columns=[f.name for f in _PROBE_SCHEMA])
+
+    return assets.mapInPandas(run, schema=_PROBE_SCHEMA)
+
+
 def encode_ppm(img: np.ndarray) -> bytes:
     """(H, W, 3|1) uint8 → binary PPM/PGM bytes (the re-encode side of
     :func:`resize_images`)."""
@@ -628,11 +935,14 @@ def resize_images(
 def frame_sample(
     assets: DataFrame, every_ms: int = 1000, fake: bool = False
 ) -> DataFrame:
-    """Sample 'frames' at a fixed cadence (video path). Without codec
-    libraries the video decode step itself stays stubbed: the signal is
-    the raw payload (``fake=True``) sliced into one frame per
-    ``every_ms`` of ``duration_ms``; a real decoder slots into
-    ``_decode``."""
+    """Sample 'frames' at a fixed cadence (video path).
+
+    ISO-BMFF payloads take the REAL container path: the stts/stsc/stsz/
+    stco sample tables map the cadence to actual access units, and each
+    emitted frame is that sample's codec-ENCODED bytes (the decode step
+    itself still needs a codec library and slots in downstream — this is
+    the honest boundary). Non-MP4 payloads with ``fake=True`` use the
+    deterministic byte-signal slicer so plumbing tests run anywhere."""
     schema = StructType(
         [
             StructField("asset_id", LongType()),
@@ -647,6 +957,20 @@ def frame_sample(
             for aid, payload, dur in zip(
                 pdf["asset_id"], pdf["payload"], pdf["duration_ms"]
             ):
+                raw = bytes(payload or b"")
+                if not fake and raw[4:8] == b"ftyp":
+                    # first access unit at/after each cadence tick; a
+                    # sparse stream never duplicates a sample — the next
+                    # tick jumps past the one just emitted
+                    next_tick, k = 0, 0
+                    for t, frame in extract_mp4_samples(raw, "vide"):
+                        if t >= next_tick:
+                            ids.append(aid)
+                            idxs.append(k)
+                            payloads.append(frame)
+                            k += 1
+                            next_tick = (t // every_ms + 1) * every_ms
+                    continue
                 sig = _decode(payload, "video", fake)
                 n = max(1, int((dur or 0) // every_ms))
                 for i in range(n):

@@ -462,3 +462,160 @@ def test_jpeg_sniffed_and_progressive_typed():
     prog = b"\xff\xd8" + b"\xff\xc2" + (10).to_bytes(2, "big") + b"\x00" * 8
     with pytest.raises(NotImplementedError, match="progressive"):
         decode_jpeg(prog)
+
+
+# ------------------------------------------------------------- ISO-BMFF
+
+
+def _box(typ: bytes, payload: bytes) -> bytes:
+    return (len(payload) + 8).to_bytes(4, "big") + typ + payload
+
+
+def mp4_bytes(
+    samples: list[bytes],
+    deltas_ms: list[int] | None = None,
+    width: int = 320,
+    height: int = 240,
+    codec: bytes = b"avc1",
+) -> bytes:
+    """Minimal but structurally valid ISO-BMFF fixture: ftyp + mdat with
+    the given (codec-encoded stand-in) samples in two chunks + a moov
+    whose stts/stsc/stsz/stco tables describe them (timescale 1000, so
+    deltas are milliseconds)."""
+    n = len(samples)
+    deltas = deltas_ms or [1000] * n
+    ftyp = _box(b"ftyp", b"isom" + (0).to_bytes(4, "big") + b"isom")
+    mdat_payload = b"".join(samples)
+    mdat = _box(b"mdat", mdat_payload)
+    data_off = len(ftyp) + 8  # mdat payload position in the file
+    split = (n + 1) // 2  # chunk 1 gets the first ceil(n/2) samples
+    chunk_offs = [data_off, data_off + sum(len(s) for s in samples[:split])]
+
+    mvhd = _box(
+        b"mvhd",
+        bytes(4)  # version+flags
+        + bytes(8)  # ctime/mtime
+        + (1000).to_bytes(4, "big")  # timescale
+        + sum(deltas).to_bytes(4, "big")  # duration
+        + bytes(80),
+    )
+    mdhd = _box(
+        b"mdhd",
+        bytes(4) + bytes(8) + (1000).to_bytes(4, "big")
+        + sum(deltas).to_bytes(4, "big") + bytes(4),
+    )
+    hdlr = _box(b"hdlr", bytes(4) + bytes(4) + b"vide" + bytes(12))
+    entry = (
+        (86).to_bytes(4, "big") + codec + bytes(6) + (1).to_bytes(2, "big")
+        + bytes(16) + width.to_bytes(2, "big") + height.to_bytes(2, "big")
+        + bytes(86 - 36)
+    )
+    stsd = _box(b"stsd", bytes(4) + (1).to_bytes(4, "big") + entry)
+    stts = _box(
+        b"stts",
+        bytes(4) + n.to_bytes(4, "big")
+        + b"".join(
+            (1).to_bytes(4, "big") + d.to_bytes(4, "big") for d in deltas
+        ),
+    )
+    stsc = _box(
+        b"stsc",
+        bytes(4) + (2).to_bytes(4, "big")
+        + (1).to_bytes(4, "big") + split.to_bytes(4, "big")
+        + (1).to_bytes(4, "big")
+        + (2).to_bytes(4, "big") + (n - split).to_bytes(4, "big")
+        + (1).to_bytes(4, "big"),
+    )
+    stsz = _box(
+        b"stsz",
+        bytes(4) + (0).to_bytes(4, "big") + n.to_bytes(4, "big")
+        + b"".join(len(s).to_bytes(4, "big") for s in samples),
+    )
+    stco = _box(
+        b"stco",
+        bytes(4) + (2).to_bytes(4, "big")
+        + b"".join(o.to_bytes(4, "big") for o in chunk_offs),
+    )
+    stbl = _box(b"stbl", stsd + stts + stsc + stsz + stco)
+    minf = _box(b"minf", stbl)
+    mdia = _box(b"mdia", mdhd + hdlr + minf)
+    trak = _box(b"trak", mdia)
+    moov = _box(b"moov", mvhd + trak)
+    return ftyp + mdat + moov
+
+
+def test_mp4_meta_parse():
+    from propagon_spark.functions.multimodal import parse_mp4_meta
+
+    payload = mp4_bytes([b"frameA", b"frameBB", b"frameCCC", b"frameDDDD"])
+    meta = parse_mp4_meta(payload)
+    assert meta["container"] == "isom"
+    assert meta["duration_ms"] == 4000
+    assert len(meta["tracks"]) == 1
+    t = meta["tracks"][0]
+    assert t["handler"] == "vide"
+    assert t["codec"] == "avc1"
+    assert (t["width"], t["height"]) == (320, 240)
+    assert t["n_samples"] == 4
+
+
+def test_mp4_sample_extraction_exact_bytes():
+    from propagon_spark.functions.multimodal import extract_mp4_samples
+
+    frames = [b"frameA", b"frameBB", b"frameCCC", b"frameDDDD"]
+    out = extract_mp4_samples(mp4_bytes(frames), "vide")
+    assert [f for _, f in out] == frames
+    assert [t for t, _ in out] == [0, 1000, 2000, 3000]
+
+
+def test_mp4_not_bmff_is_typed():
+    from propagon_spark.functions.multimodal import parse_mp4_meta
+
+    with pytest.raises(NotImplementedError, match="ftyp"):
+        parse_mp4_meta(b"\x00\x00\x00\x08free")
+
+
+def test_probe_media_mixed(spark):
+    from propagon_spark.functions.multimodal import probe_media
+
+    mp4 = mp4_bytes([b"aa", b"bbb"], deltas_ms=[500, 500])
+    png_img = np.arange(12, dtype=np.uint8).reshape(2, 2, 3)
+    rows = [
+        (0, "video", bytearray(mp4)),
+        (1, "audio", bytearray(wav_bytes(np.arange(8000)))),
+        (2, "image", bytearray(encode_ppm(png_img))),
+        (3, "video", bytearray(b"garbage-payload-here")),
+    ]
+    df = spark.createDataFrame(
+        rows, "asset_id long, media_type string, payload binary"
+    )
+    got = {r["asset_id"]: r.asDict() for r in probe_media(df).collect()}
+    assert got[0]["container"] == "mp4/isom"
+    assert got[0]["codec"] == "avc1"
+    assert (got[0]["width"], got[0]["height"]) == (320, 240)
+    assert got[0]["duration_ms"] == 1000
+    assert got[0]["n_samples"] == 2
+    assert got[1]["container"] == "wav"
+    assert got[1]["duration_ms"] == 1000
+    assert got[2]["container"] == "pnm"
+    assert (got[2]["width"], got[2]["height"]) == (2, 2)
+    assert got[3]["container"] is None
+    assert "unrecognized container" in got[3]["probe_error"]
+
+
+def test_frame_sample_real_mp4_cadence(spark):
+    # 10 samples 300ms apart; cadence 1000ms → ticks at 0/1000/2000 ms
+    # land on samples 0, 4 (1200ms), 7 (2100ms), then tick 3000 on no
+    # sample (last is 2700ms)
+    frames = [b"f%02d" % i for i in range(10)]
+    mp4 = mp4_bytes(frames, deltas_ms=[300] * 10)
+    df = spark.createDataFrame(
+        [(7, "video", bytearray(mp4), 3000)],
+        "asset_id long, media_type string, payload binary, duration_ms long",
+    )
+    out = frame_sample(df, every_ms=1000).collect()
+    assert [(r["frame_idx"], bytes(r["frame_payload"])) for r in out] == [
+        (0, b"f00"),
+        (1, b"f04"),
+        (2, b"f07"),
+    ]
