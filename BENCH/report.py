@@ -110,15 +110,17 @@ per-repeat spread reflects a measured monotone host-interference
 drift (the identical 1-core leg slowed 1527 → 1950 s across the
 morning's repeats, then recovered to 1743 s); the leg-by-leg audit is
 in RUNS.md #25–#28 and the full pair table below. The
-2 → 8 pair on the same input reads **0.913 (3-repeat median) at the
-reference's own 10-iteration budget** (`it10` section below; RUNS.md
-#31) — the job mix a converged production fit actually runs, 7 of 10
-iterations in the adaptive chain shape — versus 0.723 at the MAXIT=4
+2 → 8 pair on the same input reads **0.804 (5-repeat median,
+[0.924, 0.544, 0.913, 0.793, 0.804] across three measurement windows)
+at the reference's own 10-iteration budget** (`it10` section below;
+RUNS.md #31/#33) — the job mix a converged production fit actually
+runs, 7 of 10 iterations in the adaptive chain shape — versus 0.723
+at the MAXIT=4
 calibration mix, whose deficit run #30 isolated to the single-step
 job shape's per-core memory-bandwidth share (the chain shape scales
 at 0.86–0.99 on the same runs). So the >csr-cap input passes the
 criterion on BOTH measured pairs once the job mix matches production:
-0.845 at the bus-contention floor (1→4) and 0.913 at 2→8/it10. The
+0.845 at the bus-contention floor (1→4) and 0.804 at 2→8/it10. The
 csr fast path passes the same bus-contention floor pair:
 **1→4 median 0.886 over 3 repeats (0.886 / 0.878 / 0.906, RUNS.md
 #32)** — every kernel now has a ≥0.8 floor-pair number. Its wider
