@@ -595,14 +595,29 @@ def parse_mp4_meta(payload: bytes) -> dict:
     return meta
 
 
-def extract_mp4_samples(
+def _is_bmff(payload: bytes) -> bool:
+    """ISO-BMFF sniff: an ``ftyp`` among the first few top-level boxes
+    (spec-legal files may lead with ``free``/``skip`` — requiring ftyp
+    FIRST would reject them while parse_mp4_meta accepts them)."""
+    for i, (typ, _, _) in enumerate(_mp4_boxes(payload, 0, len(payload))):
+        if typ == b"ftyp":
+            return True
+        if i >= 3:
+            break
+    return False
+
+
+def mp4_sample_table(
     payload: bytes, handler: str = "vide"
-) -> list[tuple[int, bytes]]:
-    """Per-sample (time_ms, encoded bytes) for the first ``handler``
-    track, from the stts/stsc/stsz/stco(co64) sample tables — the
-    codec-ENCODED access units (no decode; a real decoder slots in
-    downstream). Standard ISO-BMFF chunk-walk: stsc maps chunks →
-    samples-per-chunk, offsets accumulate stsz sizes within each chunk."""
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Per-sample ``(times_ms, offsets, sizes)`` int64 arrays for the
+    first ``handler`` track, from the stts/stsc/stsz/stco(co64) sample
+    tables — the INDEX only, no payload bytes copied. Callers slice
+    just the samples they keep (frame_sample selects ~1 per cadence
+    tick, so materializing every access unit up front would copy the
+    whole mdat per asset for nothing). Standard ISO-BMFF chunk-walk:
+    stsc maps chunks → samples-per-chunk, offsets accumulate stsz sizes
+    within each chunk."""
     for tb, te in _mp4_find(payload, 0, len(payload), b"moov", b"trak"):
         hd = None
         for b, e in _mp4_find(payload, tb, te, b"mdia", b"hdlr"):
@@ -667,23 +682,40 @@ def extract_mp4_samples(
             ent = _u32s(payload, b + 8, 2 * ne).reshape(ne, 2)
             deltas = np.repeat(ent[:, 1], ent[:, 0])[:n]
             times[1 : len(deltas)] = np.cumsum(deltas[:-1])[: n - 1]
-        out: list[tuple[int, bytes]] = []
-        si = 0
-        for ci in range(nch):
-            pos = int(offs[ci])
-            for _ in range(int(spc[ci])):
-                if si >= n:
-                    break
-                sz = int(sizes[si])
-                out.append(
-                    (int(times[si] * 1000 // scale), payload[pos : pos + sz])
-                )
-                pos += sz
-                si += 1
-        return out
+        # absolute byte offsets, vectorized: chunk id per sample, then
+        # chunk base + within-chunk cumulative size. Clamp to the
+        # samples the chunk tables can actually place (m) — a malformed
+        # stsz count past sum(spc) must truncate, not crash.
+        chunk_id = np.repeat(np.arange(nch, dtype=np.int64), spc)[:n]
+        m = len(chunk_id)
+        if m == 0:
+            empty = np.zeros(0, dtype=np.int64)
+            return empty, empty, empty
+        sizes, times = sizes[:m], times[:m]
+        csum = np.concatenate(([0], np.cumsum(sizes)[:-1]))
+        first_in_chunk = np.concatenate(([0], np.cumsum(spc)[:-1]))[
+            : int(chunk_id.max()) + 1
+        ]
+        base = csum[np.minimum(first_in_chunk, m - 1)]
+        sample_offs = offs[chunk_id] + (csum - base[chunk_id])
+        return times * 1000 // scale, sample_offs, sizes
     raise NotImplementedError(
         f"no {handler!r} track with sample tables in ISO-BMFF payload"
     )
+
+
+def extract_mp4_samples(
+    payload: bytes, handler: str = "vide"
+) -> list[tuple[int, bytes]]:
+    """Per-sample (time_ms, encoded bytes) — :func:`mp4_sample_table`
+    with the bytes sliced out, for callers that really want every
+    codec-ENCODED access unit (no decode; a real decoder slots in
+    downstream)."""
+    times, offs, sizes = mp4_sample_table(payload, handler)
+    return [
+        (int(t), payload[int(o) : int(o) + int(s)])
+        for t, o, s in zip(times, offs, sizes)
+    ]
 
 
 _PROBE_SCHEMA = StructType(
@@ -703,16 +735,10 @@ _PROBE_SCHEMA = StructType(
 
 def _probe_one(payload: bytes) -> dict:
     """Header-only sniff of one payload → container/codec/dims/duration."""
-    out = {
-        "container": None,
-        "codec": None,
-        "width": None,
-        "height": None,
-        "duration_ms": None,
-        "n_samples": None,
-        "probe_error": None,
-    }
-    if payload[4:8] == b"ftyp":
+    out = dict.fromkeys(
+        f.name for f in _PROBE_SCHEMA if f.name not in ("asset_id", "media_type")
+    )
+    if _is_bmff(payload):
         meta = parse_mp4_meta(payload)
         out["container"] = "mp4/" + meta["container"]
         out["duration_ms"] = meta["duration_ms"]
@@ -758,12 +784,23 @@ def _probe_one(payload: bytes) -> dict:
                 i += 1
                 continue
             marker = payload[i + 1]
-            if marker in (0xC0, 0xC1, 0xC2):
-                out["height"] = int.from_bytes(payload[i + 5 : i + 7], "big")
-                out["width"] = int.from_bytes(payload[i + 7 : i + 9], "big")
+            if marker == 0xFF:  # legal fill byte: FF FF ... FF <marker>
+                i += 1
+                continue
+            if marker == 0xD9:  # EOI: no SOF found
+                break
+            if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                # any SOFn frame header: P(1) H(2) W(2) after the length
+                if i + 9 <= len(payload):
+                    out["height"] = int.from_bytes(
+                        payload[i + 5 : i + 7], "big"
+                    )
+                    out["width"] = int.from_bytes(
+                        payload[i + 7 : i + 9], "big"
+                    )
                 break
             if marker in (0x01, 0xD8) or 0xD0 <= marker <= 0xD7:
-                i += 2
+                i += 2  # standalone markers carry no length
                 continue
             i += 2 + int.from_bytes(payload[i + 2 : i + 4], "big")
     else:
@@ -787,21 +824,12 @@ def probe_media(assets: DataFrame) -> DataFrame:
             for aid, mt, payload in zip(
                 pdf["asset_id"], pdf["media_type"], pdf["payload"]
             ):
-                row = {"asset_id": aid, "media_type": mt}
+                row = dict.fromkeys(f.name for f in _PROBE_SCHEMA)
+                row.update({"asset_id": aid, "media_type": mt})
                 try:
                     row.update(_probe_one(bytes(payload or b"")))
                 except Exception as exc:  # noqa: BLE001 — per-row capture
-                    row.update(
-                        {
-                            "container": None,
-                            "codec": None,
-                            "width": None,
-                            "height": None,
-                            "duration_ms": None,
-                            "n_samples": None,
-                            "probe_error": f"{type(exc).__name__}: {exc}",
-                        }
-                    )
+                    row["probe_error"] = f"{type(exc).__name__}: {exc}"
                 rows.append(row)
             yield pd.DataFrame(rows, columns=[f.name for f in _PROBE_SCHEMA])
 
@@ -941,8 +969,11 @@ def frame_sample(
     stco sample tables map the cadence to actual access units, and each
     emitted frame is that sample's codec-ENCODED bytes (the decode step
     itself still needs a codec library and slots in downstream — this is
-    the honest boundary). Non-MP4 payloads with ``fake=True`` use the
-    deterministic byte-signal slicer so plumbing tests run anywhere."""
+    the honest boundary). BMFF payloads that cannot be mapped (no video
+    track, truncated tables) emit zero frames instead of failing the
+    scan — run :func:`probe_media` first to quantify and explain them.
+    Non-MP4 payloads with ``fake=True`` use the deterministic
+    byte-signal slicer so plumbing tests run anywhere."""
     schema = StructType(
         [
             StructField("asset_id", LongType()),
@@ -958,18 +989,29 @@ def frame_sample(
                 pdf["asset_id"], pdf["payload"], pdf["duration_ms"]
             ):
                 raw = bytes(payload or b"")
-                if not fake and raw[4:8] == b"ftyp":
-                    # first access unit at/after each cadence tick; a
-                    # sparse stream never duplicates a sample — the next
-                    # tick jumps past the one just emitted
+                if not fake and _is_bmff(raw):
+                    # index-only pass over the sample TABLE, then slice
+                    # just the tick-selected access units (a 2h/30fps
+                    # stream has ~216k samples; the cadence keeps ~1 per
+                    # tick, so materializing every AU would copy the
+                    # whole mdat for nothing). Per-row error capture:
+                    # one corrupt container must not kill the scan —
+                    # probe_media reports WHY via probe_error.
+                    try:
+                        times, offs, sizes = mp4_sample_table(raw, "vide")
+                    except Exception:  # noqa: BLE001 — skip corrupt row
+                        continue
                     next_tick, k = 0, 0
-                    for t, frame in extract_mp4_samples(raw, "vide"):
+                    for t, o, s in zip(times, offs, sizes):
+                        # first access unit at/after each cadence tick;
+                        # a sparse stream never duplicates a sample —
+                        # the next tick jumps past the one just emitted
                         if t >= next_tick:
                             ids.append(aid)
                             idxs.append(k)
-                            payloads.append(frame)
+                            payloads.append(raw[int(o) : int(o) + int(s)])
                             k += 1
-                            next_tick = (t // every_ms + 1) * every_ms
+                            next_tick = (int(t) // every_ms + 1) * every_ms
                     continue
                 sig = _decode(payload, "video", fake)
                 n = max(1, int((dur or 0) // every_ms))

@@ -4,7 +4,9 @@ Spark's ``F.xxhash64(a, b)`` folds children left-to-right with seed 42:
 ``hashInt(b, hashLong(a, 42))`` when a is LongType and b IntegerType
 (sql/catalyst XxHash64 / XXH64.hashLong / XXH64.hashInt).  This script
 verifies a pure-Python mod-2^64 model against a live Spark session so the
-DuckDB oracle twin (``__spark_entry__._xxhash64_pair_sql``) can be trusted.
+DuckDB oracle encoder (``__spark_entry__._xxhash64_pair_ctes``) can be
+trusted; dev_xxhash_sql.py and tests/test_xxhash_oracle.py close the
+model↔SQL leg.
 
 Run:  python3 scripts/dev_xxhash_model.py        # model only (no Spark)
       python3 scripts/dev_xxhash_model.py spark  # + live Spark check

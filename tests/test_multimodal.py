@@ -619,3 +619,45 @@ def test_frame_sample_real_mp4_cadence(spark):
         (1, b"f04"),
         (2, b"f07"),
     ]
+
+
+def test_probe_handles_leading_free_box_and_audio_only():
+    from propagon_spark.functions.multimodal import parse_mp4_meta, _probe_one
+
+    mp4 = mp4_bytes([b"aa", b"bb"])
+    led = _box(b"free", b"\x00" * 16) + mp4  # spec-legal leading free box
+    assert _probe_one(led)["container"] == "mp4/isom"
+    assert parse_mp4_meta(led)["duration_ms"] == 2000
+
+
+def test_frame_sample_skips_unmappable_bmff(spark):
+    # an ftyp-only payload (no moov) must emit ZERO frames, not fail the
+    # scan; the good asset in the same batch still samples
+    bad = _box(b"ftyp", b"isom" + bytes(4) + b"isom")
+    good = mp4_bytes([b"x", b"yy"], deltas_ms=[500, 500])
+    df = spark.createDataFrame(
+        [(1, "video", bytearray(bad), 0), (2, "video", bytearray(good), 1000)],
+        "asset_id long, media_type string, payload binary, duration_ms long",
+    )
+    out = frame_sample(df, every_ms=400).collect()
+    assert {r["asset_id"] for r in out} == {2}
+
+
+def test_jpeg_probe_fill_bytes_and_truncation():
+    from propagon_spark.functions.multimodal import _probe_one
+
+    # legal fill padding FF FF before the SOF marker
+    sof = (
+        b"\xff\xd8" + b"\xff\xff"  # SOI + fill byte
+        + b"\xff\xc0" + (11).to_bytes(2, "big") + b"\x08"
+        + (24).to_bytes(2, "big") + (42).to_bytes(2, "big") + b"\x01\x00\x00\x00"
+    )
+    got = _probe_one(sof)
+    assert (got["width"], got["height"]) == (42, 24)
+    # truncated right after the SOF marker: no bogus dimensions
+    trunc = b"\xff\xd8" + b"\xff\xc0" + b"\x00"
+    got2 = _probe_one(trunc)
+    assert got2["width"] is None and got2["height"] is None
+    # EOI before any SOF: clean None, no segment-length misread
+    eoi = b"\xff\xd8" + b"\xff\xd9"
+    assert _probe_one(eoi)["width"] is None
