@@ -124,10 +124,12 @@ criterion on BOTH measured pairs once the job mix matches production:
 csr fast path passes the same bus-contention floor pair:
 **1→4 median 0.886 over 3 repeats (0.886 / 0.878 / 0.906, RUNS.md
 #32)** — every kernel now has a ≥0.8 floor-pair number. Its wider
-2→8 ratio sits near 0.6 at steady-state cache, dominated by the
-dedup exchange and the tmpfs shard write — the same code that scales
-at 0.90/1.03 at the floor pair, isolating the shortfall to the shared
-memory bus (per-phase decompositions in RUNS.md #15-17 and #32).
+2→8 ratio reads 0.675 (6-repeat median) with a 0.36-1.16 per-repeat
+spread ON AN IDLE HOST, dominated by the per-leg draw of the dedup
+exchange and the tmpfs shard write — the same code that scales at
+0.90/1.03 at the floor pair — isolating the shortfall to shared
+memory-bus contention variance, not the plan (per-phase
+decompositions in RUNS.md #15-17, #32 and #34).
 
 No real multi-executor cluster exists in this sandbox, so N→4N is
 evidenced with local[N] vs local[4N] on one machine. The pairs below
