@@ -76,6 +76,19 @@ elif sf_dir == "synth-wide":
                                    n_commits_per_repo=23,
                                    files_per_commit=12)
     edges = derive_edges(repo, max_commit_files=100, symmetric=True)
+elif sf_dir == "synth-huge":
+    # FIRST BEYOND-EXTRAPOLATION datapoint (round-4 verdict item 1):
+    # ~1.04e8 file vertices / ~5.9e8 directed co-commit edges — an
+    # order of magnitude past the 12M-vertex wide input, 10x past
+    # csr_max_vertices. Join kernel only. Sized so a 1-core leg stays
+    # ~35-40 min at MAXIT=3 (same direct sparse generation as wide).
+    from propagon_spark.sources.repo_table import synth_repo_table_sparse
+
+    repo = synth_repo_table_sparse(spark, n_repos=1_000_000,
+                                   n_files_per_repo=400,
+                                   n_commits_per_repo=20,
+                                   files_per_commit=6)
+    edges = derive_edges(repo, max_commit_files=100, symmetric=True)
 elif sf_dir.startswith("synth"):
     # deterministic seeded repo table large enough to be compute-bound;
     # synth = ~222M directed co-commit edges / 1M file vertices,
@@ -145,6 +158,11 @@ if sf_dir == "synth-wide":
                                    n_files_per_repo=400,
                                    n_commits_per_repo=23,
                                    files_per_commit=12)
+elif sf_dir == "synth-huge":
+    repo = synth_repo_table_sparse(spark, n_repos=1_000_000,
+                                   n_files_per_repo=400,
+                                   n_commits_per_repo=20,
+                                   files_per_commit=6)
 else:
     n_repos = 100 if sf_dir == "synth-small" else 1000
     repo = synth_repo_table(spark, n_repos=n_repos, n_files_per_repo=1000,

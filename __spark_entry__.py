@@ -1066,13 +1066,22 @@ def _xxhash64_pair_ctes(
     id_col: str,
     seed: int | None = None,
     seed_col: str | None = None,
+    prefix: str = "x",
 ) -> str:
-    """CTE chain ``x0..x11,xh`` where ``xh`` carries every column of
-    ``src_cte`` plus ``hx`` = Spark's signed-long
+    """CTE chain ``{prefix}0..{prefix}11,{prefix}h`` where ``{prefix}h``
+    carries every column of ``src_cte`` plus ``hx`` = Spark's signed-long
     ``F.xxhash64(F.col(id_col), F.lit(seed))``. Pass ``seed`` for a
     constant literal, or ``seed_col`` (a non-negative int32-ranged
     column of ``src_cte``) for per-row seeds (e.g. per-replicate
-    ``base_seed + rep``)."""
+    ``base_seed + rep``).
+
+    PRECONDITION: ``id_col`` must be **non-negative** (as must
+    ``seed_col``). DuckDB's ``%`` and ``//`` truncate toward zero, so a
+    negative id diverges from Spark's two's-complement wrap and the
+    replay silently produces wrong hashes. All call sites feed
+    vocab-rank / draw-index / replicate columns, which are >= 0 by
+    construction. Pass ``prefix`` to chain several independent hashes in
+    one query (the stage CTE names collide otherwise)."""
     c1 = (42 + _XXH_P5 + 8) % _XXH_M  # hashLong initial acc
     c2 = (_XXH_P5 + 4) % _XXH_M  # hashInt length term
     if seed_col is not None:
@@ -1103,13 +1112,18 @@ def _xxhash64_pair_ctes(
         f"SELECT *, {_xxh_mul(_xxh_xorshr('g2', 33), _XXH_P2)} AS g3 FROM x9",
         f"SELECT *, {_xxh_mul(_xxh_xorshr('g3', 29), _XXH_P3)} AS g4 FROM x10",
     ]
-    ctes = ",\n".join(f"x{i} AS ({s})" for i, s in enumerate(steps))
+    if prefix != "x":
+        # stage CTEs reference x0..x10 by name inside the step strings
+        steps = [
+            s.replace(" FROM x", f" FROM {prefix}") for s in steps
+        ]
+    ctes = ",\n".join(f"{prefix}{i} AS ({s})" for i, s in enumerate(steps))
     fin = _xxh_xorshr("g4", 32)
     return (
         f"{ctes},\n"
-        f"xh AS (SELECT *, CAST({fin} - CASE WHEN {fin} >="
+        f"{prefix}h AS (SELECT *, CAST({fin} - CASE WHEN {fin} >="
         f" {1 << 63}::HUGEINT THEN {_XXH_MH} ELSE 0::HUGEINT END"
-        " AS BIGINT) AS hx FROM x11)"
+        " AS BIGINT) AS hx FROM {pfx}11)".replace("{pfx}", prefix)
     )
 
 

@@ -628,7 +628,7 @@ def mp4_sample_table(
             iter(_mp4_find(payload, tb, te, b"mdia", b"minf", b"stbl")), None
         )
         if stbl is None:
-            break
+            continue  # a later trak with this handler may carry tables
         sb, se = stbl
         tables: dict[bytes, tuple[int, int]] = {}
         for typ, b, e in _mp4_boxes(payload, sb, se):
@@ -636,7 +636,7 @@ def mp4_sample_table(
         if b"stsz" not in tables or (
             b"stco" not in tables and b"co64" not in tables
         ):
-            break
+            continue  # e.g. an empty thumbnail track ahead of the real one
         b, _ = tables[b"stsz"]
         fixed = int.from_bytes(payload[b + 4 : b + 8], "big")
         n = int.from_bytes(payload[b + 8 : b + 12], "big")
@@ -1013,7 +1013,16 @@ def frame_sample(
                             k += 1
                             next_tick = (int(t) // every_ms + 1) * every_ms
                     continue
-                sig = _decode(payload, "video", fake)
+                # non-BMFF fallback: same per-row error capture as the
+                # BMFF branch — a mixed batch (one undecodable payload
+                # among real MP4s) must not kill the scan either; with
+                # fake=False an unsupported codec raises
+                # NotImplementedError inside _decode, which here means
+                # "skip this row" (probe_media reports WHY per-asset)
+                try:
+                    sig = _decode(payload, "video", fake)
+                except Exception:  # noqa: BLE001 — skip undecodable row
+                    continue
                 n = max(1, int((dur or 0) // every_ms))
                 for i in range(n):
                     lo = (i * len(sig)) // n

@@ -152,27 +152,36 @@ def lsh_cosine_topk(
             F.array(*[F.col(f"_b{t}") for t in range(num_tables)])
         ).alias("table", "bucket"),
     )
-    a = with_norm(buckets, vec_col).select(
+    # bucket self-join on bare id pairs: a pair co-bucketing in several
+    # tables is deduped BEFORE any vector travels — the distinct keys on
+    # two longs, not on ~dim·8-byte float arrays (at dim=768 the old
+    # vector-attached distinct shuffled ~6 KB/row × num_tables and
+    # hash-compared whole arrays per candidate). Vectors rejoin once per
+    # SURVIVING pair, same shape as ivf_cosine_topk.
+    a = buckets.select(
+        F.col(id_col).alias("query_id"), "table", "bucket"
+    )
+    b = buckets.select(
+        F.col(id_col).alias("neighbor_id"), "table", "bucket"
+    )
+    pairs = (
+        a.join(b, ["table", "bucket"])
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
+    vecs = with_norm(df.select(id_col, vec_col), vec_col)
+    qside = vecs.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("_qv"),
         F.col("_norm").alias("_qn"),
-        "table",
-        "bucket",
     )
-    b = with_norm(buckets, vec_col).select(
+    cside = vecs.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("_cv"),
         F.col("_norm").alias("_cn"),
-        "table",
-        "bucket",
     )
-    cands = (
-        a.join(b, ["table", "bucket"])
-        .where(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id", "_qv", "_qn", "_cv", "_cn")
-        .distinct()
-    )
-    scored = cands.select(
+    scored = pairs.join(qside, "query_id").join(cside, "neighbor_id").select(
         "query_id",
         "neighbor_id",
         (_dot(F.col("_qv"), F.col("_cv")) / (F.col("_qn") * F.col("_cn"))).alias(

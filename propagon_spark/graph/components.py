@@ -26,6 +26,7 @@ from pyspark.storagelevel import StorageLevel
 from propagon_spark.canon import symmetrize
 from propagon_spark.graph.core import Graph
 from propagon_spark.plans.iterate import truncate_lineage, truncate_lineage_lazy
+from propagon_spark.progress import as_progress
 
 # deserialized columnar cache: the serialized level costs ~1.5x to build
 # and ~3.5x per re-read at 2e8 rows (measured; see BENCH/BASELINE.md) -
@@ -33,7 +34,7 @@ from propagon_spark.plans.iterate import truncate_lineage, truncate_lineage_lazy
 _STORAGE = StorageLevel.MEMORY_AND_DISK_DESER
 
 
-def _min_label_fixpoint(g: Graph) -> DataFrame:
+def _min_label_fixpoint(g: Graph, prog=None) -> DataFrame:
     """Return (id, label) with label = min vertex id reachable (undirected)."""
     nparts = g.edges.rdd.getNumPartitions()
     sym = (
@@ -50,7 +51,11 @@ def _min_label_fixpoint(g: Graph) -> DataFrame:
         .transform(truncate_lineage)
     )
 
+    rnd = 0
+    if prog is not None:
+        prog.start("components")
     while True:
+        rnd += 1
         # gather: min label over in-neighbors (sym is symmetric, so this is
         # the full undirected neighborhood)
         nbr_min = (
@@ -93,19 +98,29 @@ def _min_label_fixpoint(g: Graph) -> DataFrame:
         )
         changed = obs.get["changed"]
         labels = updated
+        if prog is not None:
+            prog.iteration("components", {"round": rnd, "changed": int(changed)})
         if changed == 0:
             break
 
+    if prog is not None:
+        prog.finish()
     sym.unpersist()
     return labels
 
 
-def connected_components(g: Graph, min_size: int = 1) -> DataFrame:
+def connected_components(
+    g: Graph, min_size: int = 1, progress=None
+) -> DataFrame:
     """Return ``(name, id, component, component_size)``; component = min
     member vertex id; rows of components smaller than ``min_size`` dropped;
     ordered by (component_size desc, component asc, id asc) — the
-    reference's largest-first output (``components.rs:58-65``)."""
-    labels = _min_label_fixpoint(g)
+    reference's largest-first output (``components.rs:58-65``).
+
+    ``progress``: Progress instance or ``callable(phase, metrics_row)``
+    invoked per fixpoint round with ``{"round", "changed"}``
+    (reference FR-3.5, ``progress.rs:1-30``)."""
+    labels = _min_label_fixpoint(g, prog=as_progress(progress))
     sizes = labels.groupBy("label").agg(F.count("*").alias("component_size"))
     out = (
         labels.join(sizes, "label")

@@ -164,7 +164,8 @@ def harmonic(
                 F.col("id").alias("source"),
                 F.xxhash64(F.col("id"), F.lit(seed)).alias("_h"),
             )
-            .orderBy("_h")
+            .orderBy("_h", "source")  # id tie-break: total order shared
+            # with the DuckDB oracle even on a 64-bit hash collision
             .limit(sample)
             .select("source")
         )

@@ -24,6 +24,7 @@ from propagon_spark.canon import dedup_edges
 from propagon_spark.errors import NumericError
 from propagon_spark.graph.core import Graph, sorted_scores
 from propagon_spark.plans.iterate import truncate_lineage, truncate_lineage_lazy
+from propagon_spark.progress import as_progress
 
 
 @dataclass
@@ -33,7 +34,13 @@ class HitsResult:
     iterations: int
 
 
-def hits(g: Graph, iterations: int = 100, tolerance: float = 1e-12) -> HitsResult:
+def hits(
+    g: Graph,
+    iterations: int = 100,
+    tolerance: float = 1e-12,
+    progress=None,
+) -> HitsResult:
+    prog = as_progress(progress)
     nparts = g.edges.rdd.getNumPartitions()
     edges = truncate_lineage(dedup_edges(g.edges).repartition(nparts, "src"))
     n = g.num_vertices
@@ -43,6 +50,7 @@ def hits(g: Graph, iterations: int = 100, tolerance: float = 1e-12) -> HitsResul
     ))
 
     it = 0
+    prog.start("hits", total=iterations)
     while it < iterations:
         it += 1
         # a_raw[dst] = Σ h[src]
@@ -106,8 +114,10 @@ def hits(g: Graph, iterations: int = 100, tolerance: float = 1e-12) -> HitsResul
         state = nxt.select(
             "id", F.col("na").alias("a"), F.col("nh").alias("h")
         )
+        prog.iteration("hits", {"iteration": it, "l1_delta": change})
         if change < tolerance:
             break
+    prog.finish()
 
     named = g.with_names(state)
     return HitsResult(

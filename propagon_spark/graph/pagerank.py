@@ -53,6 +53,7 @@ from propagon_spark.errors import InvalidParameterError, NumericError
 from propagon_spark.graph.core import Graph, sorted_scores
 from propagon_spark.plans.checkpoint import CheckpointManager
 from propagon_spark.plans.iterate import truncate_lineage
+from propagon_spark.progress import as_progress
 
 logger = logging.getLogger("propagon_spark.pagerank")
 
@@ -147,6 +148,7 @@ def pagerank(
     hub_salts: int = 16,
     impl: str = "auto",
     csr_max_vertices: int = 10_000_000,
+    progress=None,
 ) -> PageRankResult:
     """Fit PageRank. ``tol=None`` → fixed ``iterations`` (reference parity
     mode, default 10); ``tol`` set → iterate to L1 delta < tol (north-rule
@@ -160,11 +162,17 @@ def pagerank(
     (pagerank_csr.py — distributed edge blocks, broadcast vertex state, no
     per-iteration shuffle) while ``num_vertices <= csr_max_vertices``, the
     pure-dataflow join kernel beyond; force with ``"csr"`` / ``"join"``.
+
+    ``progress``: a :class:`propagon_spark.progress.Progress` or a bare
+    ``callable(phase, metrics_row)`` invoked on the driver after every
+    solver turn with the same row appended to ``result.metrics``
+    (reference FR-3.5, ``progress.rs:1-30``).
     """
     if sink not in _SINKS:
         raise InvalidParameterError(f"sink must be one of {_SINKS}, got {sink!r}")
     if not (0.0 < damping < 1.0):
         raise InvalidParameterError(f"damping must be in (0,1), got {damping}")
+    prog = as_progress(progress)
     if impl not in ("auto", "csr", "join"):
         raise InvalidParameterError(f"impl must be auto|csr|join, got {impl!r}")
 
@@ -283,6 +291,7 @@ def pagerank(
                 iterations=iterations, max_iterations=max_iterations,
                 checkpoint_interval=checkpoint_interval,
                 checkpoint_dir=checkpoint_dir, run_id=run_id, resume=resume,
+                prog=prog,
             )
         finally:
             edges.unpersist()
@@ -543,6 +552,7 @@ def pagerank(
         spark.range(loop_nparts * 1000).repartition(loop_nparts, "id").count()
         timings["fixed_job_s"] = time.monotonic() - t_f
 
+    prog.start("pagerank", total=total_iters)
     try:
         while it < total_iters:
             t0 = time.monotonic()
@@ -656,6 +666,7 @@ def pagerank(
                 }
             )
             timings["iterate_s"] += metrics[-1]["seconds"]
+            prog.iteration("pagerank", metrics[-1])
 
             logger.info(
                 "pagerank iter=%d l1=%s mass=%.6f %.2fs",
@@ -677,6 +688,7 @@ def pagerank(
                 break
     finally:
         spark.conf.set(aqe_key, aqe_old)
+        prog.finish()
 
     scores = sorted_scores(
         g.with_names(ranks.select("id", F.col("rank").alias("score")))
@@ -708,6 +720,7 @@ def _run_csr(
     checkpoint_dir: str | None,
     run_id: str | None,
     resume: bool,
+    prog=None,
 ) -> PageRankResult:
     """Dispatch to the CSR-blocked vectorized kernel (pagerank_csr.py)."""
     from propagon_spark.graph.pagerank_csr import pagerank_csr, scores_from_vector
@@ -725,13 +738,21 @@ def _run_csr(
             start_iter, state, metrics = latest
             init_ranks = state.select("id", "rank").toPandas()
 
-    p, it, converged, metrics, timings = pagerank_csr(
-        g, edges, damping=damping, sink=sink, seeds=seeds, tol=tol,
-        iterations=iterations, max_iterations=max_iterations,
-        checkpoint_interval=checkpoint_interval, ckpt=ckpt,
-        start_iter=start_iter, init_ranks=init_ranks, metrics=metrics,
-        logger=logger,
-    )
+    if prog is not None:
+        prog.start(
+            "pagerank", total=max_iterations if tol is not None else iterations
+        )
+    try:
+        p, it, converged, metrics, timings = pagerank_csr(
+            g, edges, damping=damping, sink=sink, seeds=seeds, tol=tol,
+            iterations=iterations, max_iterations=max_iterations,
+            checkpoint_interval=checkpoint_interval, ckpt=ckpt,
+            start_iter=start_iter, init_ranks=init_ranks, metrics=metrics,
+            logger=logger, prog=prog,
+        )
+    finally:
+        if prog is not None:
+            prog.finish()
     scores, ranks = scores_from_vector(g, p)
     return PageRankResult(
         scores=scores,

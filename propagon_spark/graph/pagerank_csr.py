@@ -376,6 +376,7 @@ def pagerank_csr(
     init_ranks: pd.DataFrame | None,
     metrics: list[dict],
     logger,
+    prog=None,
 ):
     """Run the CSR power iteration. ``edges`` is the canonicalized
     (dedup'd, sink-rewritten) id-typed edge frame. Returns
@@ -598,6 +599,8 @@ def pagerank_csr(
                 "kernel": "csr",
             }
         )
+        if prog is not None:
+            prog.iteration("pagerank", metrics[-1])
         logger.info(
             "pagerank[csr] iter=%d l1=%.3e mass=%.6f %.2fs",
             it, l1, mass, metrics[-1]["seconds"],

@@ -124,10 +124,18 @@ def test_fake_plumbing_still_works(spark):
     assert frames.count() > 0
 
 
-def test_video_without_codec_is_typed_error(spark):
+def test_video_without_codec_skips_row_not_scan(spark):
+    # non-BMFF payloads with fake=False are skipped PER ROW (same
+    # contract as a corrupt BMFF container: one undecodable asset never
+    # kills the scan); the WHY is surfaced per-asset by probe_media,
+    # which raises the typed codec error path internally
     assets = synth_assets(spark, n=3).where("media_type = 'video'")
+    assert frame_sample(assets, fake=False).count() == 0
+    from propagon_spark.functions.multimodal import _decode
+
+    payload = bytes(assets.first()["payload"])
     with pytest.raises(Exception, match="codec"):
-        frame_sample(assets, fake=False).collect()
+        _decode(payload, "video", fake=False)
 
 
 # ------------------------------------------------------------------ PNG

@@ -90,3 +90,26 @@ def test_parquet_scan_prunes_and_pushes_down(spark):
     assert "n_chars" not in scan and "source" not in scan
     # predicate pushdown: the filter reaches the scan
     assert "PushedFilters: [IsNotNull(text)]" in plan
+
+
+def test_lsh_candidate_distinct_keys_on_id_pair_only(spark):
+    # lsh_cosine_topk dedups bucket-join candidates BEFORE any vector is
+    # attached: the distinct's aggregate keys are the two long ids, never
+    # the embedding arrays (the round-4 wart shuffled ~dim·8 bytes/row ×
+    # num_tables and hash-compared whole float arrays per candidate)
+    from propagon_spark.functions.similarity import lsh_cosine_topk
+
+    emb = spark.createDataFrame(
+        [(i, [float(i), 1.0, 0.5]) for i in range(8)],
+        "vec_id long, embedding array<double>",
+    )
+    plan = _plan(lsh_cosine_topk(emb, k=2, num_planes=4, num_tables=2, dim=3))
+    dedup_aggs = [
+        ln
+        for ln in plan.splitlines()
+        if "HashAggregate" in ln and "query_id" in ln and "neighbor_id" in ln
+    ]
+    assert dedup_aggs, "candidate-dedup aggregate missing from plan"
+    for ln in dedup_aggs:
+        keys = ln.split("keys=[", 1)[1].split("]", 1)[0]
+        assert "_qv" not in keys and "_cv" not in keys and "embedding" not in keys
