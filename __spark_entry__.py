@@ -323,9 +323,17 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+EMB_LSH_PLANES = 4
+EMB_LSH_TABLES = 8
+EMB_LSH_THRESHOLD = 0.4
+
+
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # LSH-bucketed candidate generation (numpy-RNG hyperplanes ⇒ no SQL
-    # twin, rows-only); rescoring is exact cosine, pairs a < b
+    # LSH-bucketed candidate generation; rescoring is exact cosine,
+    # pairs a < b. Round 5: the float64 signature path + plane-literal
+    # replay (_embedding_neardup_lsh_sql) give the LSH path itself a
+    # bit-exact DuckDB twin — no_oracle row retired (the exact-mode
+    # twin below remains the all-pairs baseline)
     from propagon_spark.functions.similarity import embedding_near_duplicates
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
@@ -335,7 +343,10 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cosine ~0.51), so the threshold is set low enough to exercise the
     # bucket → rescore → threshold path on real pairs
     out = embedding_near_duplicates(
-        emb, threshold=0.4, num_planes=4, num_tables=8
+        emb,
+        threshold=EMB_LSH_THRESHOLD,
+        num_planes=EMB_LSH_PLANES,
+        num_tables=EMB_LSH_TABLES,
     )
     return out.select("a", "b", F.round("cosine", 9).alias("cosine"))
 
@@ -480,14 +491,29 @@ def _birank_input(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+BIRANK_RANDOM_ITERS = 10
+BIRANK_RANDOM_SEED = 2019
+
+
 def q_birank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # bipartite supplier → part endorsements from lineitem (side-local id
-    # spaces; seeded random init ⇒ tier-S rows-only check, like the
-    # reference's own golden treatment of birank)
+    # spaces; the reference's default 10 iterations + seeded random init,
+    # birank.rs:189-199). Round 5: the init is hash01(src_rank, 2019) =
+    # xxhash64-derived, so the full random-init trajectory gets a
+    # bit-exact DuckDB twin (_birank_random_sql) — the former tier-S
+    # rows-only row is now oracle-green. (The dst-side init is dead
+    # state: the first sweep overwrites p before reading it, so only the
+    # src-side hash enters the trajectory — true in birank.rs too.)
     from propagon_spark.graph.birank import birank
 
-    res = birank(_birank_input(spark, sf_dir), iterations=10)
-    return res.dst_scores
+    res = birank(
+        _birank_input(spark, sf_dir),
+        iterations=BIRANK_RANDOM_ITERS,
+        seed=BIRANK_RANDOM_SEED,
+    )
+    return res.dst_scores.select(
+        "name", F.round("score", 9).alias("score")
+    )
 
 
 BIRANK_UNIFORM_ITERS = 2
@@ -509,16 +535,35 @@ def q_birank_uniform(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.dst_scores.select("name", F.round("score", 9).alias("score"))
 
 
+BOOT_POIS_REPS = 8
+BOOT_POIS_SEED = 42
+
+
 def q_bootstrap_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # bootstrap CIs over in-degree on the co-occurrence graph (Poisson
-    # resampling — the distributed scale default; rand() substreams are
-    # partition-assigned ⇒ rows-only)
+    # bootstrap CIs over in-degree on the co-occurrence graph — Poisson
+    # resampling, the DISTRIBUTED SCALE DEFAULT. Round 5: multiplicities
+    # are drawn from xxhash64(src·2³¹+dst, seed+rep) instead of rand()
+    # (whose substreams are partition-assigned), so the default path is
+    # deterministic at any parallelism AND has a bit-exact DuckDB twin
+    # (_bootstrap_degree_poisson_sql) — no_oracle row retired.
     from propagon_spark.graph.bootstrap import bootstrap
     from propagon_spark.graph.degree import degree
 
     g = _graph(spark, sf_dir, symmetric=False, min_weight=2)
-    res = bootstrap(g, lambda rg: degree(rg, "in"), replicates=8)
-    return res.intervals
+    res = bootstrap(
+        g,
+        lambda rg: degree(rg, "in"),
+        replicates=BOOT_POIS_REPS,
+        seed=BOOT_POIS_SEED,
+    )
+    return res.intervals.select(
+        "name",
+        F.round("score_mean", 9).alias("score_mean"),
+        F.round("score_lo", 9).alias("score_lo"),
+        F.round("score_hi", 9).alias("score_hi"),
+        F.round("rank_lo", 9).alias("rank_lo"),
+        F.round("rank_hi", 9).alias("rank_hi"),
+    )
 
 
 BOOT_EXACT_REPS = 8
@@ -969,6 +1014,43 @@ def _birank_uniform_sql(iters: int) -> str:
     return "\n".join(sql)
 
 
+def _birank_random_sql(iters: int, seed: int) -> str:
+    """Unrolled BiRank sweeps from the reference's SEEDED RANDOM start
+    (``birank.rs:189-199`` semantics, engine stream): u₀[s] =
+    ``xxhash64(rank(s), seed)/2⁶⁴ + 0.5`` replayed bit-exactly via the
+    xxhash64 CTE chain (ids are name ranks — ids.py order-preserving
+    vocab), then the same sqrt-degree-normalized alternating gathers as
+    the uniform twin. The dst-side init is dead state (the first sweep
+    writes p before reading it), so one hash chain suffices."""
+    sql = [
+        "WITH e AS MATERIALIZED (SELECT CAST(l_suppkey AS VARCHAR) AS s,"
+        " CAST(l_partkey AS VARCHAR) AS d,"
+        " CAST(l_quantity AS DOUBLE) AS w FROM lineitem),",
+        "sv AS (SELECT s, CAST(row_number() OVER (ORDER BY s) - 1"
+        " AS BIGINT) AS sid FROM (SELECT DISTINCT s FROM e) t),",
+        _xxhash64_pair_ctes("sv", "sid", seed=seed, prefix="rh") + ",",
+        "u0 AS MATERIALIZED (SELECT s, CAST(hx AS DOUBLE)"
+        " / 18446744073709551616.0 + 0.5 AS u FROM rhh),",
+        "dsx AS (SELECT s, sqrt(sum(w)) AS ds FROM e GROUP BY 1),",
+        "ddx AS (SELECT d, sqrt(sum(w)) AS dd FROM e GROUP BY 1),",
+        "en AS MATERIALIZED (SELECT e.s, e.d, sum(e.w/(dsx.ds*ddx.dd)) AS nw"
+        " FROM e JOIN dsx ON e.s = dsx.s JOIN ddx ON e.d = ddx.d"
+        " GROUP BY 1, 2),",
+    ]
+    for k in range(1, iters + 1):
+        sql.append(
+            f"p{k} AS MATERIALIZED (SELECT en.d, sum(en.nw * u{k-1}.u) AS p"
+            f" FROM en JOIN u{k-1} ON en.s = u{k-1}.s GROUP BY 1),"
+        )
+        sql.append(
+            f"u{k} AS MATERIALIZED (SELECT en.s, sum(en.nw * p{k}.p) AS u"
+            f" FROM en JOIN p{k} ON en.d = p{k}.d GROUP BY 1),"
+        )
+    sql[-1] = sql[-1].rstrip(",")
+    sql.append(f"SELECT d AS name, ROUND(p, 9) AS score FROM p{iters}")
+    return "\n".join(sql)
+
+
 def _harmonic_bfs_sql(depth: int) -> str:
     """Depth-capped exact harmonic over the undirected min-weight>=2
     subgraph: recursive BFS closure, min distance per (source, node),
@@ -1192,6 +1274,54 @@ mult AS (SELECT rep, rn, CAST(count(*) AS DOUBLE) AS m
 indeg AS (SELECT mult.rep, num.dst AS vid,
           sum(num.weight * mult.m) AS score
           FROM mult JOIN num USING (rn) GROUP BY 1, 2),
+rr AS (SELECT range AS rep FROM range(0, {reps})),
+fullsc AS (SELECT rr.rep, vv.name, coalesce(i.score, 0.0) AS score
+           FROM rr CROSS JOIN vv
+           LEFT JOIN indeg i ON i.rep = rr.rep AND i.vid = vv.vid),
+rk AS (SELECT rep, name, score, CAST(row_number() OVER
+       (PARTITION BY rep ORDER BY score DESC, name ASC) AS DOUBLE) AS rnk
+       FROM fullsc)
+SELECT name,
+       ROUND(avg(score), 9) AS score_mean,
+       ROUND(quantile_cont(score, 0.025), 9) AS score_lo,
+       ROUND(quantile_cont(score, 0.975), 9) AS score_hi,
+       ROUND(quantile_cont(rnk, 0.025), 9) AS rank_lo,
+       ROUND(quantile_cont(rnk, 0.975), 9) AS rank_hi
+FROM rk GROUP BY name"""
+
+
+def _bootstrap_degree_poisson_sql(reps: int, seed: int) -> str:
+    """SQL twin of the DEFAULT (distributed) Poisson bootstrap over
+    in-degree: replays resample_edges (bootstrap.py) — per replicate r,
+    each vid-typed edge's multiplicity is the Poisson(1) inverse-CDF of
+    ``u = xxhash64(src·2³¹ + dst, seed+r)/2⁶⁴ + 0.5`` (int64→double is
+    IEEE round-to-nearest in both engines, the scale is a power of two,
+    and the CDF thresholds are the same shortest-round-trip doubles —
+    bit-identical u and m) — then the same degree-fit → rank →
+    type-7-percentile tail as _bootstrap_degree_exact_sql."""
+    from propagon_spark.graph.bootstrap import _POIS_CDF
+
+    chain = " ".join(
+        f"WHEN u < {c!r} THEN {k}" for k, c in enumerate(_POIS_CDF)
+    )
+    return f"""WITH {ORACLE_EDGES_CTE},
+ce AS (SELECT src, dst, weight FROM pairs WHERE weight >= 2),
+v AS (SELECT DISTINCT nm AS name FROM
+      (SELECT src AS nm FROM ce UNION ALL SELECT dst FROM ce) u),
+vv AS (SELECT name, CAST(row_number() OVER (ORDER BY name) - 1 AS BIGINT)
+       AS vid FROM v),
+e AS MATERIALIZED (SELECT a.vid AS src, b.vid AS dst, ce.weight AS weight
+      FROM ce JOIN vv a ON ce.src = a.name JOIN vv b ON ce.dst = b.name),
+di AS (SELECT r.range AS rep, e.src, e.dst, e.weight,
+       e.src * 2147483648 + e.dst AS ek,
+       CAST({seed} + r.range AS BIGINT) AS s
+       FROM range(0, {reps}) r CROSS JOIN e),
+{_xxhash64_pair_ctes('di', 'ek', seed_col='s')},
+um AS MATERIALIZED (SELECT rep, dst, weight,
+       CAST(hx AS DOUBLE) / 18446744073709551616.0 + 0.5 AS u FROM xh),
+mult AS (SELECT rep, dst, weight, CASE {chain} ELSE 10 END AS m FROM um),
+indeg AS (SELECT rep, dst AS vid, sum(weight * m) AS score
+          FROM mult WHERE m > 0 GROUP BY 1, 2),
 rr AS (SELECT range AS rep FROM range(0, {reps})),
 fullsc AS (SELECT rr.rep, vv.name, coalesce(i.score, 0.0) AS score
            FROM rr CROSS JOIN vv
@@ -1499,6 +1629,51 @@ FROM e a JOIN e b ON a.vec_id < b.vec_id
 WHERE list_cosine_similarity(a.emb, b.emb) >= 0.4"""
 
 
+def _embedding_neardup_lsh_sql(
+    threshold: float,
+    num_planes: int,
+    num_tables: int,
+    seed: int = 42,
+    dim: int = 64,
+) -> str:
+    """SQL twin of the LSH near-dup path (similarity.py
+    ``embedding_near_duplicates`` default): the random hyperplanes are
+    regenerated HERE with the same ``numpy.RandomState(seed + 1000·t)``
+    stream the signature UDF uses and inlined as literals, so DuckDB
+    reproduces every signature bit — sign(embedding · plane) is stable
+    across engines because both compute in float64 and the smallest
+    |dot| on the test corpora is ~3e-6, 7+ orders above cross-engine
+    summation drift (margin asserted in scripts/dev_neardup_oracle.py).
+    Candidates = pairs co-bucketed in ≥1 table; rescore exact cosine;
+    threshold; a < b. (The engine's per-query k=1000 cap never binds at
+    oracle scale: ≤ 2000 vectors ⇒ < k candidates per query.)"""
+    import numpy as np
+
+    tables = []
+    for t in range(num_tables):
+        rng = np.random.RandomState(seed + 1000 * t)
+        planes = rng.standard_normal((dim, num_planes))
+        bits = " + ".join(
+            f"(CASE WHEN list_dot_product(emb, "
+            f"[{', '.join(repr(x) for x in planes[:, b])}]::DOUBLE[]) > 0 "
+            f"THEN {1 << b} ELSE 0 END)"
+            for b in range(num_planes)
+        )
+        tables.append(f"SELECT vec_id, emb, {t} AS tbl, {bits} AS bucket FROM e")
+    buckets = "\nUNION ALL\n".join(tables)
+    return f"""WITH e AS (
+    SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+bk AS MATERIALIZED (
+{buckets}),
+cand AS (SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
+         FROM bk x JOIN bk y ON x.tbl = y.tbl AND x.bucket = y.bucket
+         AND x.vec_id < y.vec_id)
+SELECT c.a, c.b,
+       ROUND(list_cosine_similarity(ea.emb, eb.emb), 9) AS cosine
+FROM cand c JOIN e ea ON c.a = ea.vec_id JOIN e eb ON c.b = eb.vec_id
+WHERE list_cosine_similarity(ea.emb, eb.emb) >= {threshold}"""
+
+
 #: exact cosine top-5 — the oracle for BOTH the brute-force query and
 #: the IVF full-probe query (which is exhaustive by construction)
 _ANN_TOPK_SQL = """WITH e AS (
@@ -1543,6 +1718,9 @@ def oracle_sql() -> dict[str, str]:
         "harmonic_src64": _harmonic_sources_sql(HARMONIC_DEPTH, HARMONIC_SRC_K),
         "bootstrap_degree_ci_exact": _bootstrap_degree_exact_sql(
             BOOT_EXACT_REPS, BOOT_EXACT_SEED
+        ),
+        "bootstrap_degree_ci": _bootstrap_degree_poisson_sql(
+            BOOT_POIS_REPS, BOOT_POIS_SEED
         ),
         "harmonic_sampled": _harmonic_sampled_sql(
             HARMONIC_SAMPLED_DEPTH, HARMONIC_SAMPLE_K, HARMONIC_SAMPLED_SEED
@@ -1620,6 +1798,9 @@ SELECT coalesce(w.name, l.name) AS name,
 FROM w FULL OUTER JOIN l ON w.name = l.name""",
         "filter_min_count": _filter_min_count_sql(FMC_MIN_COUNT, _FMC_ROUNDS),
         "birank_uniform_k2": _birank_uniform_sql(BIRANK_UNIFORM_ITERS),
+        "birank_supplier_part": _birank_random_sql(
+            BIRANK_RANDOM_ITERS, BIRANK_RANDOM_SEED
+        ),
         "sha_invariant": "SELECT doc_id, sha256(text) AS sha FROM documents",
         "ngram_jaccard": _ngram_jaccard_sql(NGRAM_N, NGRAM_THRESHOLD),
         "dedup_exact": """SELECT sha256(text) AS content_sha,
@@ -1663,6 +1844,9 @@ scores AS (SELECT doc_id, {lang_scores} FROM padded)
 SELECT doc_id, {_LANG_CASE} AS lang_pred FROM scores""",
         "ann_cosine_topk": _ANN_TOPK_SQL,
         "embedding_neardup_exact": _EMB_NEARDUP_EXACT_SQL,
+        "embedding_neardup": _embedding_neardup_lsh_sql(
+            EMB_LSH_THRESHOLD, EMB_LSH_PLANES, EMB_LSH_TABLES
+        ),
         # IVF full-probe is exhaustive by construction, so the exact
         # brute-force oracle gates it too (see q_ann_ivf_topk)
         "ann_ivf_topk": _ANN_TOPK_SQL,

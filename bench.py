@@ -41,6 +41,46 @@ def _loadavg() -> float:
         return -1.0
 
 
+def _jvm_gc_ms(spark) -> int:
+    """Cumulative JVM GC milliseconds (all collectors) — per-repeat
+    deltas attribute slow repeats to GC pressure vs neighbor load
+    (round-4 verdict item 7: the 7.8s→17.8s connected_components
+    repeat had no load signature, so loadavg alone can't explain it)."""
+    try:
+        beans = (
+            spark.sparkContext._jvm.java.lang.management.ManagementFactory
+            .getGarbageCollectorMXBeans()
+        )
+        return int(sum(b.getCollectionTime() for b in beans))
+    except Exception:
+        return -1
+
+
+def _spill_bytes(spark) -> int:
+    """Cumulative shuffle spill (memory+disk) across completed stages,
+    from the local UI REST API. Retained-stage eviction (default 1000)
+    can undercount very long sessions; deltas within one bench run stay
+    well inside the window."""
+    try:
+        import urllib.request
+
+        base = spark.sparkContext.uiWebUrl
+        app = spark.sparkContext.applicationId
+        with urllib.request.urlopen(
+            f"{base}/api/v1/applications/{app}/stages?status=COMPLETE",
+            timeout=5,
+        ) as r:
+            stages = json.load(r)
+        return int(
+            sum(
+                s.get("memoryBytesSpilled", 0) + s.get("diskBytesSpilled", 0)
+                for s in stages
+            )
+        )
+    except Exception:
+        return -1
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -50,6 +90,10 @@ def main() -> None:
         app_name="propagon-bench",
         master=f"local[{cpus}]",
         shuffle_partitions=cpus,
+        # engine default is UI-off; the bench enables it for the REST
+        # stage-metrics endpoint behind _spill_bytes (negligible cost,
+        # and only in this process — the scaling legs stay UI-off)
+        extra_conf={"spark.ui.enabled": "true"},
     )
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -65,22 +109,37 @@ def main() -> None:
 
     queries: dict[str, float] = {}
     query_runs: dict[str, list[float]] = {}
+    query_run_detail: dict[str, list[dict]] = {}
     query_load: dict[str, float] = {}
     t_all = time.monotonic()
 
     def timed(name: str, fn, reps: int = repeats):
-        """Best-of-``reps`` runs of ``fn``; returns the best run's value."""
+        """Best-of-``reps`` runs of ``fn``; returns the best run's value.
+        Each repeat records wall time plus loadavg / JVM-GC-delta /
+        spill-delta so a slow repeat is attributable (neighbor load vs
+        GC pressure vs spill) instead of unexplained telemetry."""
         query_load[name] = _loadavg()
-        best_t, best_v, runs = None, None, []
+        best_t, best_v, runs, detail = None, None, [], []
         for _ in range(max(1, reps)):
+            gc0, sp0 = _jvm_gc_ms(spark), _spill_bytes(spark)
             t0 = time.monotonic()
             v = fn()
             dt = time.monotonic() - t0
+            gc1, sp1 = _jvm_gc_ms(spark), _spill_bytes(spark)
             runs.append(round(dt, 3))
+            detail.append(
+                {
+                    "seconds": round(dt, 3),
+                    "loadavg": _loadavg(),
+                    "gc_ms": gc1 - gc0 if gc0 >= 0 and gc1 >= 0 else None,
+                    "spilled_bytes": sp1 - sp0 if sp0 >= 0 and sp1 >= 0 else None,
+                }
+            )
             if best_t is None or dt < best_t:
                 best_t, best_v = dt, v
         queries[name] = best_t
         query_runs[name] = runs
+        query_run_detail[name] = detail
         return best_v
 
     # ---- graph construction (shared; single-run, see module note) -----
@@ -169,6 +228,7 @@ def main() -> None:
                 "loadavg_at_start": load_start,
                 "queries": {k: round(v, 3) for k, v in queries.items()},
                 "query_runs": query_runs,
+                "query_run_detail": query_run_detail,
                 "query_loadavg": query_load,
                 # measurement harnesses (run their own oracles) — kept out
                 # of queries/total_seconds so rounds compare like-for-like

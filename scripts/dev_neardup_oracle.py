@@ -336,6 +336,31 @@ def main(sf_dir: str) -> int:
     print(f"neardup_clusters: numpy={len(want_c)} sql={len(got_c)} match={ok_c}")
     fails += not ok_c
 
+    # embedding-LSH sign margin (round 5): the embedding_neardup oracle
+    # replays sign(embedding . plane) with inlined float64 plane
+    # literals; engines may sum the 64-term dot in different orders
+    # (~1e-13 relative drift), so the replay is exact only while every
+    # |dot| clears that by a wide margin. Assert >= 1e-9 (observed
+    # minimum ~3e-6 across sf0.001/0.01/0.1).
+    emb = con.execute(
+        f"SELECT embedding FROM '{sf_dir}/embeddings.parquet'"
+    ).fetchall()
+    m = np.array([e[0] for e in emb], dtype=np.float64)
+    from __spark_entry__ import EMB_LSH_PLANES, EMB_LSH_TABLES
+
+    margin = min(
+        np.abs(
+            m
+            @ np.random.RandomState(42 + 1000 * t).standard_normal(
+                (m.shape[1], EMB_LSH_PLANES)
+            )
+        ).min()
+        for t in range(EMB_LSH_TABLES)
+    )
+    ok = margin >= 1e-9
+    print(f"embedding_lsh_sign_margin: min|dot|={margin:.3e} >= 1e-9 {ok}")
+    fails += not ok
+
     return fails
 
 

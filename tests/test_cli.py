@@ -10,6 +10,7 @@ CLI surface (reader → canon → kernel → emit).
 from __future__ import annotations
 
 import io
+import os
 
 import pytest
 
@@ -181,3 +182,28 @@ def test_cli_bootstrap_intervals(spark):
     lines = [ln for ln in buf.getvalue().splitlines() if ln.strip()]
     assert len(lines) == 30
     assert "[" in lines[0] and "rank [" in lines[0]
+
+
+def test_installed_console_script_end_to_end():
+    # packaging smoke (pyproject.toml [project.scripts]): the INSTALLED
+    # `propagon-spark` entry point — its own process, its own Spark
+    # session — reproduces team degree on the reference corpus. Skipped
+    # when the package isn't pip-installed (source-checkout-only runs).
+    import shutil
+    import subprocess
+
+    exe = shutil.which("propagon-spark")
+    if exe is None:
+        pytest.skip("propagon-spark console script not installed")
+    env = dict(os.environ, PROPAGON_SPARK_MASTER="local[2]")
+    out = subprocess.run(
+        [exe, "graph", "degree", BASEBALL, "--direction", "out"],
+        capture_output=True, text=True, timeout=300, env=env,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    scores = _parse_scores(out.stdout)
+    # 2018 MLB wins (edges are winner->loser, so OUT-degree): top-3
+    # teams 21:108, 22:103, 24:100
+    assert len(scores) == 30
+    top = sorted(scores, key=lambda k: -scores[k])[:3]
+    assert top == ["21", "22", "24"]
