@@ -56,6 +56,7 @@ def _max_job_id(spark) -> int:
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     cores = int(sys.argv[2]) if len(sys.argv) > 2 else 16
+    min_w = int(sys.argv[3]) if len(sys.argv) > 3 else 2
 
     from propagon_spark.session import get_spark
 
@@ -69,10 +70,10 @@ def main() -> None:
 
     import __spark_entry__ as entry
 
-    g = entry._graph(spark, sf_dir, symmetric=False, min_weight=2)
+    g = entry._graph(spark, sf_dir, symmetric=False, min_weight=min_w)
     g.edges.persist().count()
 
-    from propagon_spark.graph.kcore import kcore as kcore_new
+    from propagon_spark.graph.kcore import _kcore_hindex, _kcore_peel
 
     import tempfile
 
@@ -81,8 +82,10 @@ def main() -> None:
 
         results = {}
         frames = {}
-        for name, fn in (("new_delta", kcore_new), ("old_reagg", kcore_old),
-                         ("new_delta_warm", kcore_new)):
+        for name, fn in (("hindex", _kcore_hindex),
+                         ("peel_delta", _kcore_peel),
+                         ("old_reagg", kcore_old),
+                         ("hindex_warm", _kcore_hindex)):
             j0, t0 = _max_job_id(spark), time.monotonic()
             out = fn(g)
             rows = out.count()
@@ -95,9 +98,11 @@ def main() -> None:
                   flush=True)
 
         # equivalence: identical (id, coreness) assignments
-        a = frames["new_delta"].select("id", "coreness")
+        a = frames["hindex"].select("id", "coreness")
         b = frames["old_reagg"].select("id", "coreness")
-        diff = a.exceptAll(b).count() + b.exceptAll(a).count()
+        c = frames["peel_delta"].select("id", "coreness")
+        diff = (a.exceptAll(b).count() + b.exceptAll(a).count()
+                + a.exceptAll(c).count() + c.exceptAll(a).count())
         results["assignments_differ"] = diff
         print("RESULT " + json.dumps(results))
         assert diff == 0, "old and new kcore disagree!"

@@ -1,0 +1,53 @@
+#!/bin/bash
+# Round-5 item 1a: ONE full-width phase-timed convergence fit at the
+# first beyond-extrapolation size — synth-huge, 103.8M vertices / 591.5M
+# directed edges (10x past csr_max_vertices; join kernel only).
+# PROPAGON_JOIN_PHASES=1 forces single power steps so per-turn seconds
+# are per-iteration seconds and the gather/update split is recorded.
+# PROPAGON_LOCAL_DIR on DISK: /dev/shm spill at this size is spill to
+# RAM and OOMed the 48g-heap prep JVM (also the honest model of a
+# cluster node's local SSD).
+cd "$(dirname "$0")/.."
+echo "=== 5a start $(date) loadavg $(cat /proc/loadavg)"
+mkdir -p /tmp/propagon_huge_local
+PROPAGON_LOCAL_DIR=/tmp/propagon_huge_local \
+PROPAGON_JOIN_PHASES=1 PROPAGON_CSR_NBLOCKS=32 \
+python3 - <<'EOF' 2>>BENCH/round5a_huge.log
+import json, os, sys, time
+sys.path.insert(0, os.getcwd())
+from propagon_spark.session import get_spark
+from propagon_spark.graph.core import Graph
+from propagon_spark.graph.pagerank import pagerank
+
+spark = get_spark(app_name="huge-conv", master="local[32]",
+                  shuffle_partitions=64)
+spark.sparkContext.setLogLevel("ERROR")
+with open("BENCH/data/synth-huge.json") as f:
+    meta = json.load(f)
+g = Graph.from_dense_ids(spark.read.parquet("BENCH/data/synth-huge.parquet"),
+                         weight="weight", num_vertices=meta["num_vertices"])
+t0 = time.monotonic()
+res = pagerank(g, damping=0.85, sink="uniform", tol=1e-6,
+               max_iterations=100, impl="join")
+res.ranks.count()
+secs = time.monotonic() - t0
+out = {
+    "input": "synth-huge", "cores": 32,
+    "vertices": g.num_vertices,
+    "dedup_edges": res.timings.get("edge_rows"),
+    "seconds": round(secs, 1), "iterations": res.iterations,
+    "converged": res.converged,
+    "edges_per_sec": round(res.timings.get("edge_rows", 0)
+                           * res.iterations / secs),
+    "timings": {k: (round(v, 3) if isinstance(v, float) else v)
+                for k, v in res.timings.items()},
+    "per_iter_s": [round(m["seconds"], 3) for m in res.metrics],
+    "l1_first_last": [res.metrics[0]["l1_delta"],
+                      res.metrics[-1]["l1_delta"]],
+}
+print("RESULT " + json.dumps(out))
+with open("BENCH/huge_conv32.json", "w") as f:
+    json.dump(out, f, indent=1)
+spark.stop()
+EOF
+echo "=== 5a end $(date)"
