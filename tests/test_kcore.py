@@ -33,3 +33,23 @@ def test_self_loop_only_is_core_zero(spark):
     c = {r["name"]: r["coreness"] for r in kcore(g).collect()}
     assert c == {"z": 0, "a": 1, "b": 1}
     g.unpersist()
+
+
+def test_hindex_equals_peel_random_graph(spark):
+    # method equivalence on a non-trivial graph: the iterated-H-index
+    # fixpoint must assign the exact coreness the reference-shaped peel
+    # cascade assigns (Lü et al. 2016 theorem; also oracle-checked vs
+    # the recursive-CTE peel at 3 scale factors by check_oracles.py)
+    import random
+
+    rng = random.Random(5)
+    names = [f"v{i}" for i in range(40)]
+    rows = {(a, b) for a, b in
+            ((rng.choice(names), rng.choice(names)) for _ in range(180))
+            if a != b}
+    g = Graph.from_edges(make_edges(spark, sorted(rows)))
+    hi = {r["name"]: r["coreness"] for r in kcore(g, method="hindex").collect()}
+    pe = {r["name"]: r["coreness"] for r in kcore(g, method="peel").collect()}
+    assert hi == pe
+    assert max(hi.values()) >= 2  # graph dense enough to be a real case
+    g.unpersist()
