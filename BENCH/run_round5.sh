@@ -9,8 +9,19 @@
 # cluster node's local SSD).
 cd "$(dirname "$0")/.."
 echo "=== 5a start $(date) loadavg $(cat /proc/loadavg)"
+# PROPAGON_DRIVER_MEM=96g: the default 48g heap OOMed at this size
+# (UnifiedMemoryManager could not grow the execution pool while the
+# 591M-row deserialized cache was unrolling under 32 concurrent
+# hash-aggs — round5a_huge.log, first attempt). On a real cluster the
+# 4N level brings 4N executors' memory; on this one-JVM proxy the
+# honest equivalent is a heap the workload actually fits, identical at
+# every parallelism level. 96g leaves ~25 GiB for JVM overhead + OS.
 mkdir -p /tmp/propagon_huge_local
+# PERIODIC_GC=60s: at ~5 GB of checkpoint+shuffle per iteration the
+# 75 GB scratch volume holds ~12 iterations of orphaned state; a 60 s
+# cleaner cadence bounds it to ~2 iterations (session.py rationale).
 PROPAGON_LOCAL_DIR=/tmp/propagon_huge_local \
+PROPAGON_DRIVER_MEM=96g PROPAGON_PERIODIC_GC=60s \
 PROPAGON_JOIN_PHASES=1 PROPAGON_CSR_NBLOCKS=32 \
 python3 - <<'EOF' 2>>BENCH/round5a_huge.log
 import json, os, sys, time

@@ -9,8 +9,11 @@
 # Disk-backed local dir (see run_round5.sh).
 cd "$(dirname "$0")/.."
 echo "=== 5b start $(date) loadavg $(cat /proc/loadavg)"
+# 96g heap at BOTH levels — same rationale and identical-level rule as
+# run_round5.sh (the 48g default OOMed the 32-core fit at this size)
 mkdir -p /tmp/propagon_huge_local
 PROPAGON_LOCAL_DIR=/tmp/propagon_huge_local \
+PROPAGON_DRIVER_MEM=96g PROPAGON_PERIODIC_GC=60s \
 PROPAGON_SCALING_FITS=1 PROPAGON_SCALING_MAXIT=3 \
 python3 BENCH/scaling.py synth-huge 1 4 2 join 2>>BENCH/round5b_huge.log
 echo "=== 5b end $(date)"

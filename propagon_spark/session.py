@@ -134,6 +134,22 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.executorEnv.PYTHONPATH", os.environ["PYTHONPATH"])
+        # Iterative kernels re-bind their state frame every loop turn
+        # (ranks = truncate_lineage(...)); the PREVIOUS turn's
+        # localCheckpoint blocks and shuffle files are only reaped when a
+        # JVM GC lets the ContextCleaner see the dead references. On big
+        # heaps (48-96g here) organic GC is so rare that a long
+        # convergence fit accumulates every iteration's state on local
+        # disk — measured: a 103.8M-vertex / 591.5M-edge fit at ~5 GB of
+        # checkpoint blocks + shuffle per iteration filled a 75 GB
+        # scratch volume in minutes (BENCH/round5a_huge log, round 5).
+        # The default 30min periodic-GC cadence is tuned for streaming;
+        # 2min bounds in-flight orphaned state to a few iterations at
+        # negligible GC cost (System.gc on a mostly-dead young gen).
+        .config(
+            "spark.cleaner.periodicGC.interval",
+            os.environ.get("PROPAGON_PERIODIC_GC", "2min"),
+        )
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
