@@ -363,6 +363,13 @@ def pagerank(
     # canonicalized edges actually processed per iteration (scaling harness
     # reads it from timings instead of re-running the distinct)
     n_scatter = scatter.count()
+    # the dedup'd frame is a SETUP intermediate in the join kernel: the
+    # loop reads only scatter/vstat (both just materialized). Holding it
+    # for the whole fit keeps a third edge-scale cache alive — and pins
+    # its upstream shuffle files through the cached lineage — which at
+    # 591M edges was enough to overflow a 75 GB local-disk budget
+    # (round-5 huge run). Release it the moment its derived frames exist.
+    edges.unpersist(blocking=False)
 
     timings_gather_mode = gather_mode
 
