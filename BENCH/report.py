@@ -99,6 +99,17 @@ comparison isolates parallelism. Efficiency = (T_N / T_4N) /
 efficiency {head['scaling_efficiency']}** (target >= 0.8,
 repeats {head['repeats']}).
 
+**Round 5 — the beyond-extrapolation datapoint (synth-huge,
+103,785,500 vertices / 591,502,902 edges, 10× past the csr cap): the
+join-kernel 1→4 floor pair passes on BOTH order-alternated repeats,
+efficiencies [0.934, 1.246], reported median 1.09, conservative
+min-pair 0.934** — the best floor-pair number of any input measured,
+at ~8.6× the previous largest vertex count. Phase split at the median
+pair: setup 0.89, iterate 0.96 (RUNS.md #37; repeat 2's superlinear
+cell is its 1-core leg's single-thread iterate variance, reported as
+measured). The shape-pinned loop layout (1038 partitions =
+ceil(n/100k)) holds an order of magnitude past its calibration.
+
 The headline is the JOIN kernel deliberately: it is the only kernel
 that runs past `csr_max_vertices` = 10M, i.e. the kernel the
 10^12-file north rule actually exercises (BENCH/SCALE_PATH.md holds

@@ -38,8 +38,13 @@ with open("BENCH/data/synth-huge.json") as f:
 g = Graph.from_dense_ids(spark.read.parquet("BENCH/data/synth-huge.parquet"),
                          weight="weight", num_vertices=meta["num_vertices"])
 t0 = time.monotonic()
+# max_iterations=20, not run-to-1e-6: at ~3.5 min/iter (1-core floor
+# measurements scaled) a full ~85-iteration convergence would outlive
+# the session; 20 phase-timed single steps pin the per-iteration
+# gather/update split and the L1 decay rate (recorded per iteration),
+# from which iterations-to-1e-6 follows geometrically.
 res = pagerank(g, damping=0.85, sink="uniform", tol=1e-6,
-               max_iterations=100, impl="join")
+               max_iterations=20, impl="join")
 res.ranks.count()
 secs = time.monotonic() - t0
 out = {
